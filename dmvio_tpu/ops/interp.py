@@ -1,0 +1,75 @@
+"""Bilinear interpolation gathers on images and image stacks.
+
+TPU-native equivalent of the reference's interpolation helpers
+(src/dso/util/globalFuncs.h: getInterpolatedElement33 & friends). Instead of
+pointer arithmetic over interleaved Eigen::Vector3f images, we gather from
+planar [C, H, W] arrays with flat indices; XLA lowers this to vector gathers
+that stay on-chip.
+
+All functions are batched over arbitrary leading dims of the coordinate
+arrays and are jit/vmap/grad-safe. Out-of-bounds coordinates are clamped —
+callers are expected to mask OOB lanes separately (masks carry the semantic,
+clamping only keeps the gather well-defined).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _prep(x, y, h: int, w: int):
+    x = jnp.clip(x, 0.0, w - 1.001)
+    y = jnp.clip(y, 0.0, h - 1.001)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = x - x0
+    dy = y - y0
+    ix = x0.astype(jnp.int32)
+    iy = y0.astype(jnp.int32)
+    return ix, iy, dx, dy
+
+
+def bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of img [H, W] at float coords; returns x/y-shaped array."""
+    h, w = img.shape[-2], img.shape[-1]
+    ix, iy, dx, dy = _prep(x, y, h, w)
+    flat = img.reshape(img.shape[:-2] + (h * w,))
+    i00 = iy * w + ix
+    v00 = jnp.take(flat, i00, axis=-1)
+    v01 = jnp.take(flat, i00 + 1, axis=-1)
+    v10 = jnp.take(flat, i00 + w, axis=-1)
+    v11 = jnp.take(flat, i00 + w + 1, axis=-1)
+    return (
+        v00 * (1 - dx) * (1 - dy)
+        + v01 * dx * (1 - dy)
+        + v10 * (1 - dx) * dy
+        + v11 * dx * dy
+    )
+
+
+def bilinear_stack(stack: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of a [C, H, W] stack at shared coords -> [..., C].
+
+    One fused gather for all channels: used to fetch (intensity, gx, gy)
+    triples in the alignment and BA linearization kernels.
+    """
+    c, h, w = stack.shape
+    ix, iy, dx, dy = _prep(x, y, h, w)
+    flat = stack.reshape(c, h * w)
+    i00 = (iy * w + ix).reshape(-1)
+    g = lambda idx: flat[:, idx]  # [C, N]
+    v00, v01, v10, v11 = g(i00), g(i00 + 1), g(i00 + w), g(i00 + w + 1)
+    dxf = dx.reshape(-1)[None]
+    dyf = dy.reshape(-1)[None]
+    out = (
+        v00 * (1 - dxf) * (1 - dyf)
+        + v01 * dxf * (1 - dyf)
+        + v10 * (1 - dxf) * dyf
+        + v11 * dxf * dyf
+    )  # [C, N]
+    return jnp.moveaxis(out, 0, -1).reshape(x.shape + (c,))
+
+
+def in_bounds(x: jnp.ndarray, y: jnp.ndarray, h: int, w: int, pad: float = 2.0):
+    """Mask of samples at least `pad` pixels inside the image."""
+    return (x > pad) & (x < w - pad - 1) & (y > pad) & (y < h - pad - 1)
