@@ -1,0 +1,242 @@
+"""Coarse-to-fine direct image alignment tracker.
+
+TPU-native re-design of CoarseTracker::trackNewestCoarse
+(src/dso/FullSystem/CoarseTracker.cpp:539) and its reference-map builder
+makeCoarseDepthL0 (:138-295). Differences from the reference, by design:
+
+- The whole coarse-to-fine LM optimization is ONE jitted program: the
+  per-level iteration is a lax.while_loop with on-device accept/reject, so
+  tracking a frame costs a single host->device dispatch instead of a host
+  sync per LM iteration (reference iterates on the CPU, we must not chat
+  with the TPU per iteration).
+- The semi-dense reference cloud is the active-point set itself at every
+  level (coordinates rescaled, colors re-sampled from the reference
+  pyramid), instead of a projected + dilated per-level depth map. Masked
+  fixed-capacity arrays keep all shapes static.
+- The saturation-cutoff repeat (reference: re-run a level with 2x cutoff if
+  >60% of terms saturate, CoarseTracker.cpp:630-640) is folded into the
+  while_loop state as a multiplicative cutoff escalation.
+
+The IMU-coupled variant (joint solve with an IMU factor graph per LM
+iteration, CoarseIMULogic.cpp:295-367) plugs in by replacing `solve_fn`; see
+models/coarse_imu.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from dmvio_tpu.ops import align, interp
+from dmvio_tpu.utils import lie
+from dmvio_tpu.utils.camera import Calib, PYR_LEVELS
+
+# Max LM iterations per level, coarse to fine ordering is reversed at use
+# site; index by level (reference uses {10,20,50,50,50} fine->coarse).
+MAX_ITERS = (10, 20, 50, 50, 50, 50)
+HUBER_TH = 9.0
+CUTOFF_TH = 20.0
+# Weak priors on the relative brightness parameters, pulling (rho, b) toward
+# 0. Without texture the affine pair is unobservable and would otherwise
+# collapse the gain to zero to "explain" any constant image (the reference
+# bounds affine estimation with setting_affineOptMode* priors similarly).
+PRIOR_RHO = 50.0
+PRIOR_B = 0.05
+
+
+class TrackerRef(NamedTuple):
+    """Reference keyframe data for tracking: pyramid + per-level clouds."""
+
+    pyr: tuple  # tuple of [3, H_l, W_l] arrays
+    clouds: tuple  # tuple of align.PointCloud per level
+
+
+class TrackResult(NamedTuple):
+    R: jnp.ndarray            # ref -> new rotation
+    t: jnp.ndarray            # ref -> new translation
+    rho: jnp.ndarray          # relative log brightness gain
+    b_aff: jnp.ndarray        # relative brightness offset
+    level_energy: jnp.ndarray  # [L] final mean energy per level (fine = idx 0)
+    level_terms: jnp.ndarray   # [L] term counts
+    flow_t: jnp.ndarray
+    flow_rt: jnp.ndarray
+    valid: jnp.ndarray         # bool: finite results and enough terms
+
+
+def make_tracker_ref(
+    ref_pyr: Sequence[jnp.ndarray],
+    calib0: Calib,
+    u0: jnp.ndarray,
+    v0: jnp.ndarray,
+    idepth: jnp.ndarray,
+    mask: jnp.ndarray,
+) -> TrackerRef:
+    """Build per-level reference clouds from level-0 points.
+
+    Equivalent role to makeCoarseDepthL0 + per-level downsampling
+    (CoarseTracker.cpp:138-295): supplies (u, v, idepth, color, mask) per
+    pyramid level in the reference keyframe.
+    """
+    clouds = []
+    for l, lvl in enumerate(ref_pyr):
+        s = 0.5**l
+        ul = (u0 + 0.5) * s - 0.5
+        vl = (v0 + 0.5) * s - 0.5
+        h, w = lvl.shape[-2:]
+        m = mask & interp.in_bounds(ul, vl, h, w, pad=2.0) & (idepth > 0)
+        color = interp.bilinear(lvl[0], ul, vl)
+        clouds.append(
+            align.PointCloud(u=ul, v=vl, idepth=idepth, color=color, mask=m)
+        )
+    return TrackerRef(pyr=tuple(ref_pyr), clouds=tuple(clouds))
+
+
+class _LMState(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    rho: jnp.ndarray
+    b_aff: jnp.ndarray
+    lam: jnp.ndarray
+    energy: jnp.ndarray     # mean energy at current accepted state
+    terms: jnp.ndarray
+    cutoff_mult: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray
+
+
+def _track_level(
+    tgt_level, calib_l, pc, R0, t0, rho0, b0, max_it: int
+):
+    """LM on one pyramid level, fully on-device."""
+
+    def mean_energy(R, t, rho, b, cmult):
+        e, n, _ = align.calc_energy(
+            tgt_level, calib_l, pc, R, t, jnp.exp(rho), b,
+            HUBER_TH, CUTOFF_TH, cmult,
+        )
+        return e / jnp.maximum(n, 1.0), n
+
+    def sat_ratio(R, t, rho, b, cmult):
+        _, n, s = align.calc_energy(
+            tgt_level, calib_l, pc, R, t, jnp.exp(rho), b,
+            HUBER_TH, CUTOFF_TH, cmult,
+        )
+        return s / jnp.maximum(n + s, 1.0)
+
+    # Cutoff escalation (reference levelCutoffRepeat): double the cutoff
+    # until <60% of terms saturate (bounded unroll of 3, as in practice).
+    cmult = jnp.array(1.0, jnp.float32)
+    for _ in range(3):
+        ratio = sat_ratio(R0, t0, rho0, b0, cmult)
+        cmult = jnp.where(ratio > 0.6, cmult * 2.0, cmult)
+
+    e0, n0 = mean_energy(R0, t0, rho0, b0, cmult)
+    init = _LMState(
+        R=R0, t=t0, rho=rho0, b_aff=b0,
+        lam=jnp.array(0.01, jnp.float32), energy=e0, terms=n0,
+        cutoff_mult=cmult, it=jnp.array(0, jnp.int32),
+        done=jnp.array(False),
+    )
+
+    def cond(st: _LMState):
+        return (st.it < max_it) & (~st.done)
+
+    def body(st: _LMState):
+        H, b, _ = align.calc_res_and_gs(
+            tgt_level, calib_l, pc, st.R, st.t, jnp.exp(st.rho), st.b_aff,
+            HUBER_TH, CUTOFF_TH, st.cutoff_mult,
+        )
+        Hs = H / jnp.maximum(st.terms, 1.0)
+        bs = b / jnp.maximum(st.terms, 1.0)
+        prior = jnp.array([0, 0, 0, 0, 0, 0, PRIOR_RHO, PRIOR_B], Hs.dtype)
+        Hs = Hs + jnp.diag(prior)
+        bs = bs + prior * jnp.array(
+            [0, 0, 0, 0, 0, 0, st.rho, st.b_aff], Hs.dtype
+        )
+        Hl = Hs + st.lam * jnp.diag(jnp.diag(Hs)) + 1e-8 * jnp.eye(8, dtype=Hs.dtype)
+        step = jnp.linalg.solve(Hl, -bs)
+        step = jnp.where(jnp.isfinite(step), step, 0.0)
+        Rn, tn = lie.se3_retract(st.R, st.t, step[:6])
+        rhon = st.rho + step[6]
+        bn = st.b_aff + step[7]
+        en, nn = mean_energy(Rn, tn, rhon, bn, st.cutoff_mult)
+        accept = (en < st.energy) & jnp.isfinite(en)
+        small = jnp.sum(step * step) < 1e-12
+        return _LMState(
+            R=jnp.where(accept, Rn, st.R),
+            t=jnp.where(accept, tn, st.t),
+            rho=jnp.where(accept, rhon, st.rho),
+            b_aff=jnp.where(accept, bn, st.b_aff),
+            lam=jnp.where(accept, jnp.maximum(st.lam * 0.25, 1e-6), st.lam * 4.0),
+            energy=jnp.where(accept, en, st.energy),
+            terms=jnp.where(accept, nn, st.terms),
+            cutoff_mult=st.cutoff_mult,
+            it=st.it + 1,
+            done=small | (st.lam > 1e4),
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    return out
+
+
+def track(
+    ref: TrackerRef,
+    new_pyr: Sequence[jnp.ndarray],
+    calib0: Calib,
+    R_init: jnp.ndarray,
+    t_init: jnp.ndarray,
+    rho_init: jnp.ndarray,
+    b_init: jnp.ndarray,
+    levels: int = PYR_LEVELS,
+):
+    """Coarse-to-fine track of a new frame against the reference keyframe.
+
+    One jitted program; returns TrackResult. The caller decides on retries
+    with perturbed initializations (reference FullSystem.cpp:371-402) and on
+    keyframe creation from the flow indicators.
+    """
+    R, t = R_init, t_init
+    rho, b_aff = rho_init, b_init
+    level_energy = []
+    level_terms = []
+    for lvl in range(levels - 1, -1, -1):
+        calib_l = calib0.at_level(lvl)
+        st = _track_level(
+            new_pyr[lvl], calib_l, ref.clouds[lvl], R, t, rho, b_aff,
+            MAX_ITERS[min(lvl, len(MAX_ITERS) - 1)],
+        )
+        R, t, rho, b_aff = st.R, st.t, st.rho, st.b_aff
+        level_energy.append(st.energy)
+        level_terms.append(st.terms)
+
+    level_energy = jnp.stack(level_energy[::-1])  # index 0 = finest
+    level_terms = jnp.stack(level_terms[::-1])
+
+    # Flow indicators at the finest level for the KF decision heuristic.
+    H_fin, _, stats = align.calc_res_and_gs(
+        new_pyr[0], calib0, ref.clouds[0], R, t, jnp.exp(rho), b_aff,
+        HUBER_TH, CUTOFF_TH, 1.0,
+    )
+
+    finite = (
+        jnp.all(jnp.isfinite(level_energy))
+        & jnp.all(jnp.isfinite(t))
+        & jnp.all(jnp.isfinite(R))
+    )
+    enough = level_terms[0] > 10.0
+    # Pose observability: with a textureless/garbage target the image
+    # gradients vanish and the 6x6 pose block of H carries no information —
+    # a zero-energy "fit" there must not count as a valid track.
+    pose_info = jnp.trace(H_fin[:6, :6]) / jnp.maximum(level_terms[0], 1.0)
+    enough = enough & (pose_info > 1e-3)
+    return TrackResult(
+        R=R, t=t, rho=rho, b_aff=b_aff,
+        level_energy=level_energy, level_terms=level_terms,
+        flow_t=stats.flow_t, flow_rt=stats.flow_rt,
+        valid=finite & enough,
+    )
+
+
+track_jit = jax.jit(track, static_argnames="levels")

@@ -80,6 +80,39 @@ def warp_points(
     return un, vn, xn, yn, dn, valid
 
 
+def calc_energy(
+    tgt_level: jnp.ndarray,
+    calib_l: Calib,
+    pc: PointCloud,
+    R: jnp.ndarray,
+    t: jnp.ndarray,
+    aff_a: jnp.ndarray,
+    aff_b: jnp.ndarray,
+    huber_th: float = 9.0,
+    cutoff_th: float = 20.0,
+    cutoff_mult: jnp.ndarray | float = 1.0,
+):
+    """Energy-only evaluation (no Jacobians) for LM accept/reject steps.
+
+    Returns (energy, num_terms, num_saturated).
+    """
+    h, w = tgt_level.shape[-2:]
+    un, vn, xn, yn, dn, valid_z = warp_points(pc, calib_l, R, t)
+    inb = interp.in_bounds(un, vn, h, w, pad=2.0) & valid_z & pc.mask
+    i_new = interp.bilinear(tgt_level[0], un, vn)
+    r = i_new - (aff_a * pc.color + aff_b)
+    abs_r = jnp.abs(r)
+    cutoff = cutoff_th * cutoff_mult
+    saturated = (abs_r > cutoff) & inb
+    active = inb & ~saturated
+    hw = jnp.where(abs_r < huber_th, 1.0, huber_th / jnp.maximum(abs_r, 1e-12))
+    energy = jnp.sum(
+        jnp.where(active, hw * r * r * (2.0 - hw), 0.0)
+        + jnp.where(saturated, cutoff * cutoff * 2.0, 0.0)
+    )
+    return energy, jnp.sum(active.astype(jnp.float32)), jnp.sum(saturated.astype(jnp.float32))
+
+
 def calc_res_and_gs(
     tgt_level: jnp.ndarray,   # [3, H, W] target pyramid level (I, gx, gy)
     calib_l: Calib,
