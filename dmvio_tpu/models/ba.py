@@ -1,0 +1,214 @@
+"""Sliding-window photometric bundle adjustment: the LM driver.
+
+TPU-native re-design of FullSystem::optimize
+(src/dso/FullSystem/FullSystemOptimize.cpp:417) + EnergyFunctional::
+solveSystemF (src/dso/OptimizationBackend/EnergyFunctional.cpp:841). The
+whole multi-iteration LM optimization runs as ONE jitted program with
+on-device accept/reject (lax.while_loop), instead of the reference's
+host-side iterate/backup/restore choreography (backupState/loadSateBackup,
+FullSystemOptimize.cpp:224-388). Point idepth steps are back-substituted on
+device; outlier/OOB classification comes back as masks.
+
+Energy convention matches the reference: photometric terms are
+sum(hw * w^2 * r^2 * (2 - hw)); the marginalization-prior energy is
+delta^T (2 bM0 + HM delta) (calcMEnergyF, EnergyFunctional.cpp:324).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dmvio_tpu.ops import ba_solve, residuals
+from dmvio_tpu.ops.ba_solve import cdim
+from dmvio_tpu.ops.residuals import BAFrames, BAPoints, OUTLIER_TH
+from dmvio_tpu.utils import lie
+from dmvio_tpu.utils.camera import Calib, PATTERN_NUM
+
+# Minimum/maximum inverse depth clamps (reference setting_minIdepth ~ 0 and
+# OOB logic in PointHessian::isOOB, HessianBlocks.h:476-506).
+MIN_IDEPTH = 1e-4
+MAX_IDEPTH = 50.0
+MAX_BA_ITERS = 6          # reference setting_maxOptIterations (settings.cpp:102)
+MIN_BA_ITERS = 1          # reference setting_minOptIterations
+
+
+class BAProblem(NamedTuple):
+    """Everything the jitted window optimizer consumes."""
+
+    frames: BAFrames
+    points: BAPoints
+    calib: Calib
+    calib0: jnp.ndarray     # [4] linearization point of the intrinsics
+    HM: jnp.ndarray         # [C, C] marginalization prior (zero convention)
+    bM0: jnp.ndarray        # [C]
+    prior_diag: jnp.ndarray  # [C] diagonal priors (first-frame gauge, affine, calib)
+    pair_mask: jnp.ndarray  # [F, P] candidate residual incidence
+
+
+class BAResult(NamedTuple):
+    frames: BAFrames
+    points: BAPoints
+    calib: Calib
+    energy: jnp.ndarray          # final photometric energy
+    iters: jnp.ndarray
+    pair_outlier: jnp.ndarray    # [F, P] pairs to drop (energy/OOB)
+    pair_oob: jnp.ndarray        # [F, P]
+    pair_energy: jnp.ndarray     # [F, P] final per-pair robust energy
+    idepth_new: jnp.ndarray      # [F, P] target-frame inverse depths
+    u_new: jnp.ndarray           # [F, P]
+    v_new: jnp.ndarray           # [F, P]
+
+
+def _prior_energy(delta, HM, bM0, prior_diag):
+    return delta @ (2.0 * bM0 + HM @ delta) + delta @ (prior_diag * delta)
+
+
+def _apply_step(frames: BAFrames, points: BAPoints, calib: Calib,
+                dx: jnp.ndarray, dxd: jnp.ndarray, F: int):
+    cal_new = Calib.from_vec(calib.as_vec() + dx[:4])
+    fsteps = dx[4:].reshape(F, 8)
+    R_new, t_new = lie.se3_retract(frames.R_cw, frames.t_cw, fsteps[:, :6])
+    aff_new = frames.aff + jnp.where(frames.mask[:, None], fsteps[:, 6:8], 0.0)
+    R_new = jnp.where(frames.mask[:, None, None], R_new, frames.R_cw)
+    t_new = jnp.where(frames.mask[:, None], t_new, frames.t_cw)
+    frames_new = frames._replace(R_cw=R_new, t_cw=t_new, aff=aff_new)
+    id_new = jnp.clip(points.idepth + dxd, MIN_IDEPTH, MAX_IDEPTH)
+    id_new = jnp.where(points.mask, id_new, points.idepth)
+    points_new = points._replace(idepth=id_new)
+    return frames_new, points_new, cal_new
+
+
+class _LoopState(NamedTuple):
+    frames: BAFrames
+    points: BAPoints
+    calib: Calib
+    lin: residuals.BAResiduals
+    energy: jnp.ndarray       # accepted total energy
+    photo_energy: jnp.ndarray
+    lam: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray
+
+
+def optimize(problem: BAProblem, images: jnp.ndarray,
+             max_iters: int = MAX_BA_ITERS,
+             orthogonalize: bool = False) -> BAResult:
+    """Run the windowed BA to (approximate) convergence, fully on device.
+
+    Args:
+      problem: the window state (see BAProblem).
+      images: [F, 3, H, W] level-0 pyramids of all window frames.
+      orthogonalize: project gauge directions out of each step (reference
+        SOLVER_ORTHOGONALIZE_X_LATER). Leave False when the gauge is pinned
+        by priors (the default window setup) — see solve_levenberg.
+    """
+    F = problem.frames.mask.shape[0]
+    N_null = ba_solve.nullspaces(problem.frames, F) if orthogonalize else None
+
+    def lin_at(frames, points, calib):
+        return residuals.linearize(frames, points, calib, images,
+                                   problem.pair_mask)
+
+    def total_energy(frames, points, calib, lin):
+        delta = ba_solve.state_delta(frames, calib, problem.calib0)
+        return jnp.sum(lin.energy) + _prior_energy(
+            delta, problem.HM, problem.bM0, problem.prior_diag
+        )
+
+    lin0 = lin_at(problem.frames, problem.points, problem.calib)
+    e0 = total_energy(problem.frames, problem.points, problem.calib, lin0)
+
+    init = _LoopState(
+        frames=problem.frames, points=problem.points, calib=problem.calib,
+        lin=lin0, energy=e0, photo_energy=jnp.sum(lin0.energy),
+        lam=jnp.asarray(1e-4, jnp.float32),
+        it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False),
+    )
+
+    def cond(st: _LoopState):
+        return (st.it < max_iters) & ~st.done
+
+    def body(st: _LoopState):
+        sys = ba_solve.accumulate(st.lin, st.points.host, F)
+        delta = ba_solve.state_delta(st.frames, st.calib, problem.calib0)
+        bM_eff = problem.bM0 + problem.HM @ delta
+        b_prior = problem.prior_diag * delta
+        dx, dxd = ba_solve.solve_levenberg(
+            sys, problem.HM, bM_eff, problem.prior_diag, b_prior,
+            st.lam, st.frames.mask, st.points.mask, N_null,
+        )
+        frames_n, points_n, calib_n = _apply_step(
+            st.frames, st.points, st.calib, dx, dxd, F
+        )
+        lin_n = lin_at(frames_n, points_n, calib_n)
+        e_n = total_energy(frames_n, points_n, calib_n, lin_n)
+        accept = (e_n < st.energy) & jnp.isfinite(e_n)
+
+        step_sq = jnp.sum(dx * dx) + jnp.sum(dxd * dxd) / jnp.maximum(
+            jnp.sum(st.points.mask.astype(jnp.float32)), 1.0
+        )
+        converged = step_sq < 1e-10
+
+        sel = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(accept, x, y), a, b
+        )
+        return _LoopState(
+            frames=sel(frames_n, st.frames),
+            points=sel(points_n, st.points),
+            calib=sel(calib_n, st.calib),
+            lin=sel(lin_n, st.lin),
+            energy=jnp.where(accept, e_n, st.energy),
+            photo_energy=jnp.where(accept, jnp.sum(lin_n.energy),
+                                   st.photo_energy),
+            lam=jnp.where(accept, jnp.maximum(st.lam * 0.25, 1e-6),
+                          st.lam * 4.0),
+            it=st.it + 1,
+            done=(converged & (st.it >= MIN_BA_ITERS)) | (st.lam > 1e3),
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+
+    # Outlier classification on the final linearization (reference
+    # applyRes / setNewFrameEnergyTH semantics, simplified: per-pair robust
+    # energy thresholded against the global outlier energy).
+    lin_f = out.lin
+    pair_ok = problem.pair_mask & problem.points.mask[None, :]
+    th = OUTLIER_TH * PATTERN_NUM
+    outlier = pair_ok & ((lin_f.energy > th) | lin_f.oob)
+
+    return BAResult(
+        frames=out.frames, points=out.points, calib=out.calib,
+        energy=out.photo_energy, iters=out.it,
+        pair_outlier=outlier, pair_oob=lin_f.oob, pair_energy=lin_f.energy,
+        idepth_new=lin_f.idepth_new, u_new=lin_f.u_new, v_new=lin_f.v_new,
+    )
+
+
+optimize_jit = jax.jit(optimize, static_argnames=("max_iters", "orthogonalize"))
+
+
+def marginalization_update(
+    problem: BAProblem,
+    images: jnp.ndarray,
+    marg_points: jnp.ndarray,   # [P] points to fold into the prior
+):
+    """Compute the (HM, bM0) increment for points being marginalized.
+
+    Equivalent of EnergyFunctional::marginalizePointsF
+    (EnergyFunctional.cpp:678): called before dropping the points.
+    """
+    F = problem.frames.mask.shape[0]
+    lin = residuals.linearize(problem.frames, problem.points, problem.calib,
+                              images, problem.pair_mask)
+    delta = ba_solve.state_delta(problem.frames, problem.calib, problem.calib0)
+    delta_d = jnp.where(problem.points.mask,
+                        problem.points.idepth - problem.points.idepth_zero, 0.0)
+    return ba_solve.marginalize_points_system(
+        lin, problem.points.host, delta, delta_d, marg_points, F
+    )
+
+
+marginalization_update_jit = jax.jit(marginalization_update)

@@ -159,12 +159,17 @@ def solve_levenberg(
     lam: jnp.ndarray,
     frame_mask: jnp.ndarray,   # [F]
     point_mask: jnp.ndarray,   # [P] points contributing idepth DOFs
-    N_null: jnp.ndarray,
+    N_null: jnp.ndarray | None = None,
 ):
     """One damped GN solve with point-Schur (EnergyFunctional::solveSystemF).
 
     Returns (dx_f [C], dx_d [P]). Steps solve H dx = -b. Unoccupied frame
     slots and inactive points receive exact-zero steps.
+
+    N_null: optional gauge directions to project OUT of the step (reference
+    SOLVER_ORTHOGONALIZE_X_LATER). Only pass this when the gauge is NOT
+    pinned by priors — with a prior-fixed gauge, projection would make the
+    prior-determined gauge component of the error uncorrectable.
     """
     F = frame_mask.shape[0]
     C = cdim(F)
@@ -201,7 +206,8 @@ def solve_levenberg(
     dx = dxp / d
     dx = jnp.where(jnp.isfinite(dx), dx, 0.0) * cm
 
-    dx = orthogonalize_step(dx, N_null)
+    if N_null is not None:
+        dx = orthogonalize_step(dx, N_null)
 
     # Back-substitute point steps (EnergyFunctional::resubstituteF_MT).
     dx_d = -(sys.b_d + sys.H_fd @ dx) * Hdd_inv
