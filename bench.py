@@ -1,0 +1,76 @@
+"""End-to-end benchmark at the reference operating point.
+
+Runs the full visual-odometry pipeline (tracking + immature tracing + KF
+bundle adjustment + marginalization) on a synthetic 512x512 sequence — the
+reference's default TUM-VI operating point (512x512, 6 pyramid levels, 7-KF
+window, 2048 active points, <=6 LM iterations; settings.cpp:93-103) — and
+reports frames/s, the reference's own primary speed metric
+(main_dmvio_dataset.cpp:305-321).
+
+vs_baseline compares against 20 frames/s: TUM-VI camera rate, i.e. the
+throughput the reference's realtime preset must sustain (>1 = faster than
+realtime on one chip).
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from dmvio_tpu.models import full_system, window
+    from dmvio_tpu.utils import lie, synthetic
+    from dmvio_tpu.utils.camera import Calib
+
+    H = W = 512
+    N_WARM = 12     # covers init + first KFs (all program compilations)
+    N_MEAS = 36
+
+    calib = Calib.create(380.0, 380.0, W / 2 - 0.5, H / 2 - 0.5)
+    scene = synthetic.default_scene(depth=2.0)
+
+    def pose(i):
+        center = np.array([0.035 * i, 0.015 * np.sin(i * 0.4), 0.004 * i])
+        w_vec = np.array([0.002 * i, -0.004 * i, 0.001 * i])
+        R_wc = np.asarray(lie.so3_exp(jnp.asarray(w_vec)))
+        R_cw = R_wc.T
+        return (jnp.asarray(R_cw, jnp.float32),
+                jnp.asarray(-R_cw @ center, jnp.float32))
+
+    cfg = window.Config(f_max=8, p_max=2048, i_max=2048, max_frames=7,
+                        levels=6, ba_iters=6)
+    fs = full_system.FullSystem(calib, H, W, cfg)
+
+    frames = []
+    for i in range(N_WARM + N_MEAS):
+        R, t = pose(i)
+        frames.append(synthetic.render(scene, R, t, calib, H, W))
+    jax.block_until_ready(frames[-1])
+
+    for i in range(N_WARM):
+        fs.add_frame(frames[i], timestamp=i * 0.05)
+    if not fs.initialized:
+        raise RuntimeError("benchmark pipeline failed to initialize")
+
+    t0 = time.perf_counter()
+    for i in range(N_WARM, N_WARM + N_MEAS):
+        fs.add_frame(frames[i], timestamp=i * 0.05)
+    dt = time.perf_counter() - t0
+
+    fps = N_MEAS / dt
+    baseline_fps = 20.0  # TUM-VI camera rate = realtime requirement
+    print(json.dumps({
+        "metric": "vo_frames_per_second_512x512",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

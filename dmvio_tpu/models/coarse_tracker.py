@@ -133,11 +133,15 @@ def _track_level(
         cmult = jnp.where(ratio > 0.6, cmult * 2.0, cmult)
 
     e0, n0 = mean_energy(R0, t0, rho0, b0, cmult)
+    # A level with almost no valid terms cannot produce a trustworthy step
+    # — skip it entirely rather than corrupt a good initialization (the
+    # reference repeats a level only when enough terms saturate but always
+    # has a dense depth map; our per-level cloud can thin out).
     init = _LMState(
         R=R0, t=t0, rho=rho0, b_aff=b0,
         lam=jnp.array(0.01, jnp.float32), energy=e0, terms=n0,
         cutoff_mult=cmult, it=jnp.array(0, jnp.int32),
-        done=jnp.array(False),
+        done=n0 < 20.0,
     )
 
     def cond(st: _LMState):

@@ -1,0 +1,233 @@
+"""Host-side sliding-window state manager (fixed-capacity SoA).
+
+The functional core (ops/, models/ba.py) is pure and jitted; this module is
+the thin mutable shell around it: slot allocation for frames and points,
+incidence masks, the marginalization prior, and the per-frame metadata the
+reference keeps in FrameShell/FrameHessian (src/dso/util/FrameShell.h:37-78,
+src/dso/FullSystem/HessianBlocks.h). All array state lives on device; only
+small masks are mirrored on host for slot bookkeeping.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from dmvio_tpu.ops import ba_solve
+from dmvio_tpu.ops.residuals import BAFrames, BAPoints
+from dmvio_tpu.utils.camera import Calib
+
+
+@dataclasses.dataclass
+class Config:
+    """Runtime knobs, defaults mirroring the reference operating point
+    (settings.cpp:93-103, SURVEY.md §6)."""
+
+    f_max: int = 8              # window capacity (reference maxFrames=7 + newest)
+    p_max: int = 2048           # active point capacity (setting_desiredPointDensity)
+    i_max: int = 2048           # immature pool capacity (setting_desiredImmatureDensity 1500)
+    max_frames: int = 7         # marginalize down to this many KFs
+    ba_iters: int = 6           # setting_maxOptIterations
+    levels: int = 6             # PYR_LEVELS
+    kf_weight: float = 1.0      # setting_kfGlobalWeight
+    w_flow_t: float = 0.04 * (640 + 480)    # setting_maxShiftWeightT
+    w_flow_rt: float = 0.02 * (640 + 480)   # setting_maxShiftWeightRT
+    w_aff: float = 2.0          # setting_maxAffineWeight
+    calib_prior: float = 1e8    # pin intrinsics (reference optimizes with prior)
+    first_pose_prior: float = 1e10   # initialRotPrior/TransPrior magnitude
+    first_aff_prior: float = 1e10
+    aff_a_prior: float = 1e6    # setting_affineOptModeA-style prior
+    aff_b_prior: float = 1e4
+    min_rel_baseline: float = 0.02  # initializer parallax gate (RMS px / (w+h))
+
+
+@dataclasses.dataclass
+class FrameShell:
+    """Per-processed-frame record for trajectory output.
+
+    Non-KF poses are stored relative to their tracking reference KF and
+    composed at output time (the reference's deferred camToWorld evaluation
+    through trackingRef, FrameShell.h:52-60)."""
+
+    frame_id: int
+    timestamp: float
+    ref_kf_id: int                  # keyframe id this pose is relative to
+    R_c_ref: np.ndarray             # cam-from-ref (this frame <- ref KF)
+    t_c_ref: np.ndarray
+    is_kf: bool = False
+
+
+class Window:
+    """Fixed-capacity sliding window of keyframes + active points."""
+
+    def __init__(self, calib: Calib, h: int, w: int, cfg: Config):
+        self.cfg = cfg
+        self.h, self.w = h, w
+        F, P = cfg.f_max, cfg.p_max
+        C = ba_solve.cdim(F)
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (F, 3, 3))
+        self.frames = BAFrames(
+            R_cw=eye, t_cw=jnp.zeros((F, 3), jnp.float32),
+            aff=jnp.zeros((F, 2), jnp.float32),
+            R0_cw=eye, t0_cw=jnp.zeros((F, 3), jnp.float32),
+            aff0=jnp.zeros((F, 2), jnp.float32),
+            mask=jnp.zeros((F,), bool),
+        )
+        self.points = BAPoints(
+            host=jnp.zeros((P,), jnp.int32),
+            u=jnp.zeros((P,), jnp.float32), v=jnp.zeros((P,), jnp.float32),
+            idepth=jnp.ones((P,), jnp.float32),
+            idepth_zero=jnp.ones((P,), jnp.float32),
+            color=jnp.zeros((P, 8), jnp.float32),
+            weight=jnp.ones((P, 8), jnp.float32),
+            mask=jnp.zeros((P,), bool),
+        )
+        self.pair_mask = jnp.zeros((F, P), bool)
+        self.calib = calib
+        self.calib0 = calib.as_vec()
+        self.HM = jnp.zeros((C, C), jnp.float32)
+        self.bM0 = jnp.zeros((C,), jnp.float32)
+        prior = np.zeros(C, np.float32)
+        prior[:4] = cfg.calib_prior
+        self.prior_diag = jnp.asarray(prior)
+        # Level-0 image stacks per slot for BA; full pyramids kept separately.
+        self.images = jnp.zeros((F, 3, h, w), jnp.float32)
+        self.pyramids: List[Optional[tuple]] = [None] * F
+        # Host-side bookkeeping.
+        self.slot_frame_id: List[Optional[int]] = [None] * F
+        self.kf_count = 0
+
+    # -- host-side mask mirrors ------------------------------------------
+    def frame_mask_np(self) -> np.ndarray:
+        return np.asarray(self.frames.mask)
+
+    def point_mask_np(self) -> np.ndarray:
+        return np.asarray(self.points.mask)
+
+    def free_frame_slot(self) -> int:
+        m = self.frame_mask_np()
+        free = np.where(~m)[0]
+        if len(free) == 0:
+            raise RuntimeError("window full: marginalize before inserting")
+        return int(free[0])
+
+    def newest_slot(self) -> int:
+        ids = [(-1 if i is None else i) for i in self.slot_frame_id]
+        return int(np.argmax(ids))
+
+    def slots_by_age(self) -> List[int]:
+        """Occupied slots, oldest first."""
+        occ = [(fid, s) for s, fid in enumerate(self.slot_frame_id)
+               if fid is not None and self.frame_mask_np()[s]]
+        return [s for _, s in sorted(occ)]
+
+    # -- mutations -------------------------------------------------------
+    def insert_frame(self, slot: int, frame_id: int, pyr: tuple,
+                     R_cw, t_cw, aff) -> None:
+        f = self.frames
+        self.frames = f._replace(
+            R_cw=f.R_cw.at[slot].set(R_cw),
+            t_cw=f.t_cw.at[slot].set(t_cw),
+            aff=f.aff.at[slot].set(aff),
+            R0_cw=f.R0_cw.at[slot].set(R_cw),
+            t0_cw=f.t0_cw.at[slot].set(t_cw),
+            aff0=f.aff0.at[slot].set(aff),
+            mask=f.mask.at[slot].set(True),
+        )
+        self.images = self.images.at[slot].set(pyr[0])
+        self.pyramids[slot] = pyr
+        self.slot_frame_id[slot] = frame_id
+        self.kf_count += 1
+        # New frame observes all current active points; no self-residuals
+        # for points hosted in it (none yet).
+        pm = np.array(self.pair_mask)
+        pm[slot, :] = self.point_mask_np()
+        self.pair_mask = jnp.asarray(pm)
+
+    def set_fej_to_current(self, slot: int) -> None:
+        """Move a frame's linearization point to its current state
+        (reference setEvalPT for the newest KF, FullSystemOptimize.cpp:596)."""
+        f = self.frames
+        self.frames = f._replace(
+            R0_cw=f.R0_cw.at[slot].set(f.R_cw[slot]),
+            t0_cw=f.t0_cw.at[slot].set(f.t_cw[slot]),
+            aff0=f.aff0.at[slot].set(f.aff[slot]),
+        )
+
+    def add_points(self, hosts, u, v, idepth, color, weight, valid) -> int:
+        """Fill free point slots with new actives; returns count added.
+
+        `hosts` is a per-point host-slot array (activated immatures can be
+        hosted in any window frame)."""
+        pm = self.point_mask_np()
+        free = np.where(~pm)[0]
+        n_new = int(np.asarray(valid).sum())
+        take = min(len(free), n_new)
+        if take == 0:
+            return 0
+        src = np.where(np.asarray(valid))[0][:take]
+        dst = free[:take]
+        p = self.points
+        src_j = jnp.asarray(src)
+        dst_j = jnp.asarray(dst)
+        hosts_np = np.asarray(hosts)[src]
+        self.points = p._replace(
+            host=p.host.at[dst_j].set(jnp.asarray(hosts_np)),
+            u=p.u.at[dst_j].set(jnp.asarray(u)[src_j]),
+            v=p.v.at[dst_j].set(jnp.asarray(v)[src_j]),
+            idepth=p.idepth.at[dst_j].set(jnp.asarray(idepth)[src_j]),
+            idepth_zero=p.idepth_zero.at[dst_j].set(jnp.asarray(idepth)[src_j]),
+            color=p.color.at[dst_j].set(jnp.asarray(color)[src_j]),
+            weight=p.weight.at[dst_j].set(jnp.asarray(weight)[src_j]),
+            mask=p.mask.at[dst_j].set(True),
+        )
+        # New points are observed by all occupied frames except their host.
+        pm2 = np.array(self.pair_mask)
+        fm = self.frame_mask_np()
+        for s in np.where(fm)[0]:
+            pm2[s, dst] = hosts_np != s
+        self.pair_mask = jnp.asarray(pm2)
+        return take
+
+    def drop_points(self, drop: np.ndarray) -> None:
+        if not drop.any():
+            return
+        dj = jnp.asarray(drop)
+        self.points = self.points._replace(mask=self.points.mask & ~dj)
+        pm = np.array(self.pair_mask)
+        pm[:, drop] = False
+        self.pair_mask = jnp.asarray(pm)
+
+    def drop_frame(self, slot: int) -> None:
+        """Clear a slot after its information is in the prior."""
+        f = self.frames
+        self.frames = f._replace(mask=f.mask.at[slot].set(False))
+        pm = np.array(self.pair_mask)
+        pm[slot, :] = False
+        self.pair_mask = jnp.asarray(pm)
+        self.pyramids[slot] = None
+        self.slot_frame_id[slot] = None
+
+    def frame_prior_into_HM(self, slot: int) -> None:
+        """Move a frame's diagonal prior into HM before frame
+        marginalization (zero convention: b contribution is zero at FEJ)."""
+        i0 = ba_solve.CPART + 8 * slot
+        pr = np.asarray(self.prior_diag).copy()
+        blk = pr[i0:i0 + 8].copy()
+        if blk.any():
+            idx = jnp.arange(i0, i0 + 8)
+            self.HM = self.HM.at[idx, idx].add(jnp.asarray(blk))
+            pr[i0:i0 + 8] = 0.0
+            self.prior_diag = jnp.asarray(pr)
+
+    def set_frame_prior(self, slot: int, pose_prior: float,
+                        aff_a_prior: float, aff_b_prior: float) -> None:
+        i0 = ba_solve.CPART + 8 * slot
+        pr = np.asarray(self.prior_diag).copy()
+        pr[i0:i0 + 6] = pose_prior
+        pr[i0 + 6] = aff_a_prior
+        pr[i0 + 7] = aff_b_prior
+        self.prior_diag = jnp.asarray(pr)

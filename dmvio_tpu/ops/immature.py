@@ -31,8 +31,11 @@ IPS_OUTLIER = 3
 IPS_SKIPPED = 4
 IPS_BADCONDITION = 5
 
-N_SAMPLES = 32          # discrete epipolar samples (ref: <=100 steps w/ dynamic len)
-MAX_PIX_SEARCH = 0.027  # * (w + h), reference setting_maxPixSearch
+N_SAMPLES = 64          # discrete epipolar samples (ref: <=100 steps w/ dynamic len)
+# Relative search cap (* (w + h)). The reference uses 0.027 at VGA (~30 px);
+# since our samples are a fixed batch (no per-step cost), a longer cap costs
+# nothing and avoids losing near points whose disparity exceeds the clip.
+MAX_PIX_SEARCH = 0.08
 TRACE_GN_ITERS = 3      # reference setting_trace_GNIterations
 OUTLIER_ENERGY = 12.0 * 12.0 * 8  # pattern SSD outlier threshold (ref energyTH scale)
 MIN_TRACE_QUALITY = 3.0  # reference setting_minTraceQuality
@@ -152,9 +155,10 @@ def trace(
 
     best = jnp.argmin(sample_e, axis=-1)              # [I]
     best_e = jnp.min(sample_e, axis=-1)
-    # Second best at least 2 samples away (setting_minTraceTestRadius).
+    # Second best at least 2 PIXELS away (setting_minTraceTestRadius).
+    step_px = dist_c / (N_SAMPLES - 1)
     sidx = jnp.arange(N_SAMPLES)[None, :]
-    far = jnp.abs(sidx - best[:, None]) >= 2
+    far = jnp.abs(sidx - best[:, None]) * step_px[:, None] >= 2.0
     second_e = jnp.min(jnp.where(far, sample_e, jnp.inf), axis=-1)
     quality = second_e / jnp.maximum(best_e, 1e-6)
 
@@ -211,8 +215,10 @@ def trace(
 
     new_min = jnp.where(good, jnp.maximum(new_min, 0.0), pool.idepth_min)
     new_max = jnp.where(good, new_max, pool.idepth_max)
-    quality_new = jnp.where(good, jnp.minimum(pool.quality, quality),
-                            pool.quality)
+    # Quality is only meaningful when the search segment was long enough to
+    # discriminate (a tight interval makes second-best ~ best by
+    # construction); keep the previous value on short searches.
+    quality_new = jnp.where(good & (dist_c > 4.0), quality, pool.quality)
     status_new = jnp.where(
         good, IPS_GOOD,
         jnp.where(tiny & pool.mask, IPS_SKIPPED,

@@ -1,0 +1,79 @@
+"""End-to-end visual odometry on the analytic plane scene.
+
+The whole pipeline — initializer, coarse tracking, immature tracing,
+activation, windowed BA, marginalization — runs over a rendered sequence
+and the trajectory is scored with Sim(3)-aligned ATE against ground truth
+(the reference's own evaluation protocol, SURVEY.md §6)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmvio_tpu.models import full_system, window
+from dmvio_tpu.utils import lie, synthetic, trajectory
+from dmvio_tpu.utils.camera import Calib
+
+H, W = 96, 128
+N_FRAMES = 30
+
+
+def make_sequence(n=N_FRAMES, seed=0):
+    calib = Calib.create(100.0, 100.0, W / 2 - 0.5, H / 2 - 0.5)
+    scene = synthetic.default_scene(depth=2.0)
+    Rs, ts = [], []
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        # Sideways dominant motion with small rotation — good parallax.
+        center = np.array([0.035 * i, 0.015 * np.sin(i * 0.4), 0.004 * i])
+        w_vec = np.array([0.002 * i, -0.004 * i, 0.001 * i])
+        R_wc = np.asarray(lie.so3_exp(jnp.asarray(w_vec)))
+        R_cw = R_wc.T
+        t_cw = -R_cw @ center
+        Rs.append(jnp.asarray(R_cw, jnp.float32))
+        ts.append(jnp.asarray(t_cw, jnp.float32))
+    images = [synthetic.render(scene, Rs[i], ts[i], calib, H, W)
+              for i in range(n)]
+    return calib, images, Rs, ts
+
+
+@pytest.fixture(scope="module")
+def vo_run():
+    calib, images, R_gt, t_gt = make_sequence()
+    cfg = window.Config(f_max=6, p_max=512, i_max=512, max_frames=4,
+                        levels=4, ba_iters=6)
+    fs = full_system.FullSystem(calib, H, W, cfg)
+    for i, img in enumerate(images):
+        fs.add_frame(img, timestamp=i * 0.05)
+    return fs, R_gt, t_gt
+
+
+def test_vo_initializes_and_tracks(vo_run):
+    fs, R_gt, t_gt = vo_run
+    assert fs.initialized
+    assert not fs.is_lost
+    assert fs.stats_kf >= 3
+    assert len(fs.shells) == N_FRAMES
+
+
+def test_vo_trajectory_ate(vo_run):
+    fs, R_gt, t_gt = vo_run
+    est = fs.trajectory()
+    gt = []
+    for i in range(N_FRAMES):
+        R_wc, t_wc = lie.se3_inv(R_gt[i], t_gt[i])
+        gt.append((i * 0.05, np.asarray(R_wc), np.asarray(t_wc)))
+    ate = trajectory.ate_rmse(est, gt, with_scale=True)
+    # Total traveled distance ~1 m. Visual-only drift lands at 1-2% here
+    # (DSO-class); the margin covers XLA reduction-order nondeterminism
+    # between runs. The VIO stack is what tightens this further.
+    assert ate < 0.03, ate
+
+
+def test_tum_roundtrip(tmp_path, vo_run):
+    fs, _, _ = vo_run
+    p = tmp_path / "result.txt"
+    trajectory.write_tum(str(p), fs.trajectory())
+    back = trajectory.read_tum(str(p))
+    assert len(back) == N_FRAMES
+    ate = trajectory.ate_rmse(back, fs.trajectory(), with_scale=False)
+    assert ate < 1e-4
