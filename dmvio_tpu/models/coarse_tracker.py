@@ -58,6 +58,8 @@ class TrackResult(NamedTuple):
     t: jnp.ndarray            # ref -> new translation
     rho: jnp.ndarray          # relative log brightness gain
     b_aff: jnp.ndarray        # relative brightness offset
+    v: jnp.ndarray            # [3] velocity (meaningful with an IMU prior)
+    bias: jnp.ndarray         # [6] IMU bias [bg, ba]
     level_energy: jnp.ndarray  # [L] final mean energy per level (fine = idx 0)
     level_terms: jnp.ndarray   # [L] term counts
     flow_t: jnp.ndarray
@@ -93,11 +95,35 @@ def make_tracker_ref(
     return TrackerRef(pyr=tuple(ref_pyr), clouds=tuple(clouds))
 
 
+class CoarsePrior(NamedTuple):
+    """Gaussian prior fused into the per-level joint solve (the IMU side of
+    CoarseIMULogic::computeCoarseUpdate, CoarseIMULogic.cpp:295-367).
+
+    Coordinates [17]: [xi(6) left-inc on the TRACKED pose, aff(2), v(3),
+    bias(6)]. `H` is information in the BA/VIO unit system (Mahalanobis);
+    centers define the zero-delta point. Pose center is relative to the
+    tracking reference (same chart as the tracker state)."""
+
+    H: jnp.ndarray       # [17, 17]
+    R0: jnp.ndarray      # [3, 3]
+    t0: jnp.ndarray      # [3]
+    aff0: jnp.ndarray    # [2]
+    v0: jnp.ndarray      # [3]
+    b0: jnp.ndarray      # [6]
+
+
+# Photometric noise weight tying tracker units to the prior's Mahalanobis
+# units (see models/vio_ba.W_DSO rationale).
+W_PHOTO = 1.0 / 64.0
+
+
 class _LMState(NamedTuple):
     R: jnp.ndarray
     t: jnp.ndarray
     rho: jnp.ndarray
     b_aff: jnp.ndarray
+    v: jnp.ndarray
+    bias: jnp.ndarray
     lam: jnp.ndarray
     energy: jnp.ndarray     # mean energy at current accepted state
     terms: jnp.ndarray
@@ -106,17 +132,37 @@ class _LMState(NamedTuple):
     done: jnp.ndarray
 
 
-def _track_level(
-    tgt_level, calib_l, pc, R0, t0, rho0, b0, max_it: int
-):
-    """LM on one pyramid level, fully on-device."""
+def _prior_delta(pr: CoarsePrior, R, t, rho, b_aff, v, bias):
+    Ri, ti = lie.se3_inv(pr.R0, pr.t0)
+    xi = lie.se3_log(*lie.se3_mul(R, t, Ri, ti))
+    return jnp.concatenate([
+        xi, jnp.stack([rho, b_aff]) - pr.aff0, v - pr.v0, bias - pr.b0,
+    ])
 
-    def mean_energy(R, t, rho, b, cmult):
+
+def _track_level(
+    tgt_level, calib_l, pc, R0, t0, rho0, b0, max_it: int,
+    prior: CoarsePrior | None = None,
+    v0=None, bias0=None,
+):
+    """LM on one pyramid level, fully on-device; optionally fused with a
+    17-dof Gaussian prior (IMU-aided tracking)."""
+    z3 = jnp.zeros(3) if v0 is None else v0
+    z6 = jnp.zeros(6) if bias0 is None else bias0
+
+    def mean_energy(R, t, rho, b, v, bias, cmult, terms_hint):
         e, n, _ = align.calc_energy(
             tgt_level, calib_l, pc, R, t, jnp.exp(rho), b,
             HUBER_TH, CUTOFF_TH, cmult,
         )
-        return e / jnp.maximum(n, 1.0), n
+        em = e / jnp.maximum(n, 1.0)
+        if prior is not None:
+            # Prior energy rescaled into mean-photometric units (the joint
+            # system is solved in mean units; see body()).
+            d = _prior_delta(prior, R, t, rho, b, v, bias)
+            scale = 1.0 / (W_PHOTO * jnp.maximum(terms_hint, 1.0))
+            em = em + (d @ (prior.H @ d)) * scale
+        return em, n
 
     def sat_ratio(R, t, rho, b, cmult):
         _, n, s = align.calc_energy(
@@ -132,13 +178,16 @@ def _track_level(
         ratio = sat_ratio(R0, t0, rho0, b0, cmult)
         cmult = jnp.where(ratio > 0.6, cmult * 2.0, cmult)
 
-    e0, n0 = mean_energy(R0, t0, rho0, b0, cmult)
+    _, n_probe, _ = align.calc_energy(
+        tgt_level, calib_l, pc, R0, t0, jnp.exp(rho0), b0,
+        HUBER_TH, CUTOFF_TH, cmult)
+    e0, n0 = mean_energy(R0, t0, rho0, b0, z3, z6, cmult, n_probe)
     # A level with almost no valid terms cannot produce a trustworthy step
     # — skip it entirely rather than corrupt a good initialization (the
     # reference repeats a level only when enough terms saturate but always
     # has a dense depth map; our per-level cloud can thin out).
     init = _LMState(
-        R=R0, t=t0, rho=rho0, b_aff=b0,
+        R=R0, t=t0, rho=rho0, b_aff=b0, v=z3, bias=z6,
         lam=jnp.array(0.01, jnp.float32), energy=e0, terms=n0,
         cutoff_mult=cmult, it=jnp.array(0, jnp.int32),
         done=n0 < 20.0,
@@ -152,27 +201,55 @@ def _track_level(
             tgt_level, calib_l, pc, st.R, st.t, jnp.exp(st.rho), st.b_aff,
             HUBER_TH, CUTOFF_TH, st.cutoff_mult,
         )
-        Hs = H / jnp.maximum(st.terms, 1.0)
-        bs = b / jnp.maximum(st.terms, 1.0)
-        prior = jnp.array([0, 0, 0, 0, 0, 0, PRIOR_RHO, PRIOR_B], Hs.dtype)
-        Hs = Hs + jnp.diag(prior)
-        bs = bs + prior * jnp.array(
+        nrm = jnp.maximum(st.terms, 1.0)
+        Hs = H / nrm
+        bs = b / nrm
+        reg = jnp.array([0, 0, 0, 0, 0, 0, PRIOR_RHO, PRIOR_B], Hs.dtype)
+        Hs = Hs + jnp.diag(reg)
+        bs = bs + reg * jnp.array(
             [0, 0, 0, 0, 0, 0, st.rho, st.b_aff], Hs.dtype
         )
-        Hl = Hs + st.lam * jnp.diag(jnp.diag(Hs)) + 1e-8 * jnp.eye(8, dtype=Hs.dtype)
-        step = jnp.linalg.solve(Hl, -bs)
-        step = jnp.where(jnp.isfinite(step), step, 0.0)
-        Rn, tn = lie.se3_retract(st.R, st.t, step[:6])
-        rhon = st.rho + step[6]
-        bn = st.b_aff + step[7]
-        en, nn = mean_energy(Rn, tn, rhon, bn, st.cutoff_mult)
+        if prior is None:
+            Hl = Hs + st.lam * jnp.diag(jnp.diag(Hs)) \
+                + 1e-8 * jnp.eye(8, dtype=Hs.dtype)
+            step8 = jnp.linalg.solve(Hl, -bs)
+            step8 = jnp.where(jnp.isfinite(step8), step8, 0.0)
+            step_v = jnp.zeros(3)
+            step_b = jnp.zeros(6)
+        else:
+            # Joint 17-dof solve in mean-photometric units: the prior H is
+            # divided by (W_PHOTO * terms) to match (the reference instead
+            # converts the DSO system into GTSAM units — same algebra).
+            scale = 1.0 / (W_PHOTO * nrm)
+            d = _prior_delta(prior, st.R, st.t, st.rho, st.b_aff,
+                             st.v, st.bias)
+            H17 = jnp.zeros((17, 17), Hs.dtype).at[:8, :8].set(Hs)
+            b17 = jnp.zeros(17, Hs.dtype).at[:8].set(bs)
+            H17 = H17 + prior.H * scale
+            b17 = b17 + (prior.H @ d) * scale
+            Hl = H17 + st.lam * jnp.diag(jnp.diag(H17)) \
+                + 1e-8 * jnp.eye(17, dtype=Hs.dtype)
+            step = jnp.linalg.solve(Hl, -b17)
+            step = jnp.where(jnp.isfinite(step), step, 0.0)
+            step8 = step[:8]
+            step_v = step[8:11]
+            step_b = step[11:17]
+        Rn, tn = lie.se3_retract(st.R, st.t, step8[:6])
+        rhon = st.rho + step8[6]
+        bn = st.b_aff + step8[7]
+        vn = st.v + step_v
+        biasn = st.bias + step_b
+        en, nn = mean_energy(Rn, tn, rhon, bn, vn, biasn, st.cutoff_mult,
+                             st.terms)
         accept = (en < st.energy) & jnp.isfinite(en)
-        small = jnp.sum(step * step) < 1e-12
+        small = jnp.sum(step8 * step8) < 1e-12
         return _LMState(
             R=jnp.where(accept, Rn, st.R),
             t=jnp.where(accept, tn, st.t),
             rho=jnp.where(accept, rhon, st.rho),
             b_aff=jnp.where(accept, bn, st.b_aff),
+            v=jnp.where(accept, vn, st.v),
+            bias=jnp.where(accept, biasn, st.bias),
             lam=jnp.where(accept, jnp.maximum(st.lam * 0.25, 1e-6), st.lam * 4.0),
             energy=jnp.where(accept, en, st.energy),
             terms=jnp.where(accept, nn, st.terms),
@@ -194,15 +271,22 @@ def track(
     rho_init: jnp.ndarray,
     b_init: jnp.ndarray,
     levels: int = PYR_LEVELS,
+    prior: CoarsePrior | None = None,
+    v_init: jnp.ndarray | None = None,
+    bias_init: jnp.ndarray | None = None,
 ):
     """Coarse-to-fine track of a new frame against the reference keyframe.
 
-    One jitted program; returns TrackResult. The caller decides on retries
-    with perturbed initializations (reference FullSystem.cpp:371-402) and on
-    keyframe creation from the flow indicators.
+    One jitted program; returns TrackResult. With `prior`, every level's LM
+    is the joint visual+IMU 17-dof solve (trackNewestCoarse +
+    computeCoarseUpdate, CoarseTracker.cpp:539 / CoarseIMULogic.cpp:295).
+    The caller decides on retries with perturbed initializations (reference
+    FullSystem.cpp:371-402) and on keyframe creation from the flow stats.
     """
     R, t = R_init, t_init
     rho, b_aff = rho_init, b_init
+    v = jnp.zeros(3) if v_init is None else v_init
+    bias = jnp.zeros(6) if bias_init is None else bias_init
     level_energy = []
     level_terms = []
     for lvl in range(levels - 1, -1, -1):
@@ -210,8 +294,9 @@ def track(
         st = _track_level(
             new_pyr[lvl], calib_l, ref.clouds[lvl], R, t, rho, b_aff,
             MAX_ITERS[min(lvl, len(MAX_ITERS) - 1)],
+            prior=prior, v0=v, bias0=bias,
         )
-        R, t, rho, b_aff = st.R, st.t, st.rho, st.b_aff
+        R, t, rho, b_aff, v, bias = st.R, st.t, st.rho, st.b_aff, st.v, st.bias
         level_energy.append(st.energy)
         level_terms.append(st.terms)
 
@@ -236,7 +321,7 @@ def track(
     pose_info = jnp.trace(H_fin[:6, :6]) / jnp.maximum(level_terms[0], 1.0)
     enough = enough & (pose_info > 1e-3)
     return TrackResult(
-        R=R, t=t, rho=rho, b_aff=b_aff,
+        R=R, t=t, rho=rho, b_aff=b_aff, v=v, bias=bias,
         level_energy=level_energy, level_terms=level_terms,
         flow_t=stats.flow_t, flow_rt=stats.flow_rt,
         valid=finite & enough,
@@ -244,3 +329,17 @@ def track(
 
 
 track_jit = jax.jit(track, static_argnames="levels")
+
+
+def final_hessian(ref: TrackerRef, new_pyr, calib0: Calib, res: TrackResult):
+    """Finest-level photometric Hessian at the tracked state, in prior
+    (Mahalanobis) units — the visual information handed to the coarse-IMU
+    propagation (addVisualToCoarseGraph, CoarseTracker.cpp:766)."""
+    H, _, stats = align.calc_res_and_gs(
+        new_pyr[0], calib0, ref.clouds[0], res.R, res.t,
+        jnp.exp(res.rho), res.b_aff, HUBER_TH, CUTOFF_TH, 1.0,
+    )
+    return H * W_PHOTO
+
+
+final_hessian_jit = jax.jit(final_hessian)

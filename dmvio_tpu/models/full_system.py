@@ -69,7 +69,17 @@ def _pattern_colors(level0: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     return color, weight
 
 
-_trace_jit = jax.jit(immature.trace)
+@jax.jit
+def _trace_jit(imm, frames, R_cw, t_cw, aff_new, level0, calib):
+    """Host-state gather + trace fused into one dispatch."""
+    R_h = frames.R_cw[imm.host]
+    t_h = frames.t_cw[imm.host]
+    aff_h = frames.aff[imm.host]
+    return immature.trace(imm, R_h, t_h, aff_h, R_cw, t_cw, aff_new,
+                          level0, calib)
+
+
+_make_ref_jit = jax.jit(coarse_tracker.make_tracker_ref)
 _activate_jit = jax.jit(immature.activate)
 
 
@@ -103,6 +113,11 @@ class FullSystem:
         self.tracker_ref = None
         self.ref_kf_slot = -1
         self.ref_kf_id = -1
+        # Host-side caches of the reference KF pose/affine (avoid per-frame
+        # device syncs; refreshed on every tracker-ref rebuild).
+        self.ref_pose_np = (np.eye(3, dtype=np.float32),
+                            np.zeros(3, np.float32))
+        self.ref_aff_np = np.zeros(2, np.float32)
         # Constant-velocity model state (all relative to current ref KF).
         self.T_last_ref = (np.eye(3, dtype=np.float32),
                            np.zeros(3, np.float32))
@@ -155,9 +170,10 @@ class FullSystem:
             R_c_ref=np.asarray(res.R), t_c_ref=np.asarray(res.t)))
 
         # Absolute pose of the new frame for tracing/keyframing.
-        R_ref, t_ref = self._slot_pose(self.ref_kf_slot)
-        R_cw, t_cw = lie.se3_mul(res.R, res.t, R_ref, t_ref)
-        aff_ref = np.asarray(self.win.frames.aff[self.ref_kf_slot])
+        R_ref, t_ref = self.ref_pose_np
+        R_cw = jnp.asarray(np.asarray(res.R) @ R_ref)
+        t_cw = jnp.asarray(np.asarray(res.R) @ t_ref + np.asarray(res.t))
+        aff_ref = self.ref_aff_np
         a_new = float(aff_ref[0]) + float(res.rho)
         b_new = float(res.b_aff) + float(np.exp(float(res.rho))) * aff_ref[1]
         aff_new = jnp.asarray([a_new, b_new], jnp.float32)
@@ -173,27 +189,34 @@ class FullSystem:
 
     def _track_frame(self, pyr):
         """Coarse tracking with constant-velocity prediction + fallbacks
-        (reference trackNewCoarse pose-candidate ladder, FullSystem.cpp:320)."""
+        (reference trackNewCoarse pose-candidate ladder, FullSystem.cpp:320).
+
+        ONE device sync on the common path: the whole TrackResult is pulled
+        with a single device_get (tunnel latency dominates per-frame cost on
+        TPU — every avoided round trip counts); fallback candidates only
+        run when the first attempt tracks poorly.
+        """
         mR, mt = self.motion
         lR, lt = self.T_last_ref
         cand = [
-            lie.se3_mul(jnp.asarray(mR), jnp.asarray(mt),
-                        jnp.asarray(lR), jnp.asarray(lt)),   # const velocity
-            (jnp.asarray(lR), jnp.asarray(lt)),              # zero motion
-            (jnp.eye(3), jnp.zeros(3)),                      # identity
+            (mR @ lR, mR @ lt + mt),                         # const velocity
+            (lR, lt),                                        # zero motion
+            (np.eye(3, dtype=np.float32), np.zeros(3, np.float32)),
         ]
         best = None
         best_e = float("inf")
         for (R0, t0) in cand:
             res = coarse_tracker.track_jit(
-                self.tracker_ref, pyr, self.calib, R0, t0,
+                self.tracker_ref, pyr, self.calib,
+                jnp.asarray(R0), jnp.asarray(t0),
                 jnp.asarray(self.last_rho, jnp.float32),
                 jnp.asarray(self.last_b, jnp.float32),
                 levels=self.cfg.levels,
             )
-            e = float(res.level_energy[0])
-            if bool(res.valid) and e < best_e:
-                best, best_e = res, e
+            rnp = jax.device_get(res)   # single transfer for all fields
+            e = float(rnp.level_energy[0])
+            if bool(rnp.valid) and e < best_e:
+                best, best_e = rnp, e
             # Good enough relative to recent tracking quality -> stop
             # trying further initializations (reference achievedRes ladder
             # with setting_reTrackThreshold, FullSystem.cpp:320-430).
@@ -201,16 +224,13 @@ class FullSystem:
                 break
         if best is None:
             self.is_lost = True
-            best = res  # keep last attempt; pose = prediction
+            best = rnp  # keep last attempt; pose = prediction
         else:
             self.track_energy_ref = 0.7 * self.track_energy_ref + 0.3 * best_e
-        # Update constant-velocity model.
+        # Constant-velocity model update (host-side numpy: tiny matrices).
         lR_new = np.asarray(best.R)
         lt_new = np.asarray(best.t)
-        inv_last = lie.se3_inv(jnp.asarray(lR), jnp.asarray(lt))
-        mR_new, mt_new = lie.se3_mul(jnp.asarray(lR_new), jnp.asarray(lt_new),
-                                     *inv_last)
-        self.motion = (np.asarray(mR_new), np.asarray(mt_new))
+        self.motion = (lR_new @ lR.T, lt_new - lR_new @ lR.T @ lt)
         self.T_last_ref = (lR_new, lt_new)
         self.last_rho = float(best.rho)
         self.last_b = float(best.b_aff)
@@ -227,15 +247,9 @@ class FullSystem:
 
     def _trace_pool(self, R_cw, t_cw, aff_new, pyr):
         """Trace all immature points against the new frame (traceNewCoarse,
-        FullSystem.cpp:541)."""
-        live = np.asarray(self.imm.mask)
-        if not live.any():
-            return
-        R_h = self.win.frames.R_cw[self.imm.host]
-        t_h = self.win.frames.t_cw[self.imm.host]
-        aff_h = self.win.frames.aff[self.imm.host]
-        self.imm = _trace_jit(self.imm, R_h, t_h, aff_h,
-                              R_cw, t_cw, aff_new, pyr[0], self.calib)
+        FullSystem.cpp:541). No host sync: dead slots are masked on device."""
+        self.imm = _trace_jit(self.imm, self.win.frames, R_cw, t_cw,
+                              aff_new, pyr[0], self.calib)
 
     # ------------------------------------------------------------------
     def _initialize(self, r: initializer.InitResult, pyr, ts, fid):
@@ -451,30 +465,34 @@ class FullSystem:
         """Build the semi-dense tracking reference from the newest KF
         (makeCoarseDepthL0, CoarseTracker.cpp:138)."""
         w = self.win
-        hosted = np.asarray(w.points.host) == slot
         u_p, v_p, d_p, valid = _project_into(
             w.frames, w.points.host, w.points.u, w.points.v,
             w.points.idepth, w.calib, slot)
-        hosted_j = jnp.asarray(hosted)
+        hosted_j = w.points.host == slot
         u_c = jnp.where(hosted_j, w.points.u, u_p)
         v_c = jnp.where(hosted_j, w.points.v, v_p)
         d_c = jnp.where(hosted_j, w.points.idepth, d_p)
         m_c = w.points.mask & (hosted_j | valid)
-        self.tracker_ref = coarse_tracker.make_tracker_ref(
+        self.tracker_ref = _make_ref_jit(
             w.pyramids[slot], w.calib, u_c, v_c, d_c, m_c)
-        # Re-express the velocity model relative to the new reference.
+        # Refresh host caches of the reference pose/affine (one transfer).
+        R_new_ref, t_new_ref, aff_ref = jax.device_get(
+            (w.frames.R_cw[slot], w.frames.t_cw[slot], w.frames.aff[slot]))
+        # Re-express the velocity model relative to the new reference
+        # (host-side numpy: tiny matrices).
         if self.ref_kf_slot >= 0 and self.ref_kf_id in self.kf_poses:
             R_old, t_old = self.kf_poses[self.ref_kf_id]
             lR, lt = self.T_last_ref
-            R_w, t_w = lie.se3_mul(jnp.asarray(lR), jnp.asarray(lt),
-                                   jnp.asarray(R_old), jnp.asarray(t_old))
-            R_new_ref, t_new_ref = self._slot_pose(slot)
-            inv_new = lie.se3_inv(R_new_ref, t_new_ref)
-            nR, nt = lie.se3_mul(R_w, t_w, *inv_new)
-            self.T_last_ref = (np.asarray(nR), np.asarray(nt))
+            R_w = lR @ R_old
+            t_w = lR @ t_old + lt
+            nR = R_w @ R_new_ref.T
+            nt = t_w - nR @ t_new_ref
+            self.T_last_ref = (nR.astype(np.float32), nt.astype(np.float32))
         else:
             self.T_last_ref = (np.eye(3, dtype=np.float32),
                                np.zeros(3, np.float32))
+        self.ref_pose_np = (np.asarray(R_new_ref), np.asarray(t_new_ref))
+        self.ref_aff_np = np.asarray(aff_ref)
         self.ref_kf_slot = slot
         self.ref_kf_id = fid
         self.last_rho = 0.0

@@ -1,0 +1,166 @@
+"""IMU initialization: gravity bootstrap + coarse IMU init optimizer.
+
+TPU-native re-design of the reference's initialization stack
+(src/IMUInitialization/): GravityInitializer (GravityInitializer.cpp:29-85)
+averages accelerometer directions for a first gravity guess;
+CoarseIMUInitOptimizer (CoarseIMUInitOptimizer.{h,cpp}) optimizes ONLY the
+IMU variables — per-pose velocities, one shared bias, scale, gravity — with
+camera poses FIXED from visual tracking, over a window of up to
+`maxNumPoses=100` poses (IMUInitSettings.h:38).
+
+Design: the whole optimizer is one jitted LM over a dense state
+  x = [s_log, g2(2), bias(6), v_0..v_{N-1} (3N)]
+with per-pair 9-dim preintegration residuals (ops/preint.imu_residual)
+evaluated through the fixed DSO poses (vio_ba.dso_to_body) and Jacobians by
+jacfwd. Fixed capacity N_MAX poses, masked.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dmvio_tpu.models.vio_ba import dso_to_body
+from dmvio_tpu.ops import preint
+from dmvio_tpu.utils import lie
+
+N_MAX = 100   # reference init_coarseInitSettings maxNumPoses
+
+
+def gravity_from_accel(acc_mean: jnp.ndarray) -> jnp.ndarray:
+    """First gravity-direction guess from the mean accelerometer vector in
+    the (approximately stationary or slowly moving) DSO camera frame.
+
+    Returns the g2 tangent [gx, gy] such that R_g = exp([g2, 0]) maps the
+    metric world (-z gravity) to the DSO world: solves for the rotation
+    taking -z to the measured "up" direction (GravityInitializer.cpp:29-85
+    does the same via sophus averaging).
+    """
+    up = acc_mean / jnp.maximum(jnp.linalg.norm(acc_mean), 1e-9)
+    mz = jnp.array([0.0, 0.0, 1.0])
+    # Rotation about the axis perpendicular to both, by the angle between.
+    axis = jnp.cross(mz, up)
+    s = jnp.linalg.norm(axis)
+    c = up @ mz
+    ang = jnp.arctan2(s, c)
+    axis = axis / jnp.maximum(s, 1e-9)
+    w = axis * ang
+    return w[:2]
+
+
+class CoarseInitState(NamedTuple):
+    """Fixed-capacity pose buffer for the coarse IMU initializer."""
+
+    R_cw: jnp.ndarray    # [N, 3, 3] DSO worldToCam poses (fixed)
+    t_cw: jnp.ndarray    # [N, 3]
+    pre: preint.PreintState   # batched [N-1] chunks pose k -> k+1
+    valid: jnp.ndarray   # [N] pose slots in use (contiguous prefix)
+
+
+class CoarseInitResult(NamedTuple):
+    s_log: jnp.ndarray
+    g2: jnp.ndarray
+    bias: jnp.ndarray     # [6] shared
+    v: jnp.ndarray        # [N, 3]
+    energy: jnp.ndarray
+    s_var: jnp.ndarray    # marginal variance of s_log (init-quality gate,
+                          # reference threshold 1.0/0.5, IMUInitSettings.h:64)
+    ok: jnp.ndarray
+
+
+def _residual_all(x, st: CoarseInitState, R_cb, t_cb, N: int):
+    """All pair residuals stacked: x = [s_log, g2, bias, v...]."""
+    s_log = x[0]
+    g2 = x[1:3]
+    bias = x[3:9]
+    v = x[9:].reshape(N, 3)
+
+    def one(q):
+        pre_q = jax.tree_util.tree_map(lambda a: a[q], st.pre)
+        Rb_i, pb_i = dso_to_body(st.R_cw[q], st.t_cw[q], s_log, g2,
+                                 R_cb, t_cb)
+        Rb_j, pb_j = dso_to_body(st.R_cw[q + 1], st.t_cw[q + 1], s_log, g2,
+                                 R_cb, t_cb)
+        r9 = preint.imu_residual(pre_q, Rb_i, pb_i, v[q], Rb_j, pb_j,
+                                 v[q + 1], bias)
+        W = preint.sqrt_information(pre_q)
+        ok = (st.valid[q] & st.valid[q + 1]).astype(r9.dtype)
+        return (W @ r9) * ok
+
+    return jax.vmap(one)(jnp.arange(N - 1)).reshape(-1)
+
+
+def optimize(st: CoarseInitState, R_cb, t_cb,
+             s_log0, g20, bias0, v0,
+             iters: int = 12,
+             bias_prior: float = 1.0 / (0.1 ** 2)) -> CoarseInitResult:
+    """LM over [s, g2, bias, velocities] with poses fixed.
+
+    The reference runs GTSAM LM with Ceres-default params
+    (CoarseIMUInitOptimizer.cpp); thresholds on the scale marginal variance
+    gate the handoff (IMUInitializerTransitions.h:62-163).
+    """
+    N = st.R_cw.shape[0]
+    dim = 9 + 3 * N
+
+    x0 = jnp.concatenate([s_log0[None], g20, bias0, v0.reshape(-1)])
+    prior_diag = jnp.zeros(dim).at[3:9].set(bias_prior)
+
+    def energy(x):
+        r = _residual_all(x, st, R_cb, t_cb, N)
+        return jnp.sum(r * r) + jnp.sum(prior_diag * (x - x0) ** 2)
+
+    class _S(NamedTuple):
+        x: jnp.ndarray
+        e: jnp.ndarray
+        lam: jnp.ndarray
+        it: jnp.ndarray
+        done: jnp.ndarray
+
+    # Mask velocity coords of unused slots.
+    vmask = jnp.concatenate([
+        jnp.ones(9, bool), jnp.repeat(st.valid, 3)]).astype(jnp.float32)
+
+    def body(s: _S):
+        J = jax.jacfwd(lambda x: _residual_all(x, st, R_cb, t_cb, N))(s.x)
+        r = _residual_all(s.x, st, R_cb, t_cb, N)
+        H = J.T @ J + jnp.diag(prior_diag)
+        b = J.T @ r + prior_diag * (s.x - x0)
+        H = H * vmask[:, None] * vmask[None, :] + jnp.diag(1.0 - vmask)
+        b = b * vmask
+        Hl = H + s.lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(dim)
+        dx = jnp.linalg.solve(Hl, -b)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0) * vmask
+        xn = s.x + dx
+        en = energy(xn)
+        acc = (en < s.e) & jnp.isfinite(en)
+        return _S(
+            x=jnp.where(acc, xn, s.x), e=jnp.where(acc, en, s.e),
+            lam=jnp.where(acc, jnp.maximum(s.lam * 0.25, 1e-8), s.lam * 4.0),
+            it=s.it + 1,
+            done=(jnp.sum(dx * dx) < 1e-14) | (s.lam > 1e6),
+        )
+
+    init = _S(x=x0, e=energy(x0), lam=jnp.asarray(1e-3, jnp.float32),
+              it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False))
+    out = jax.lax.while_loop(lambda s: (s.it < iters) & ~s.done, body, init)
+
+    # Scale marginal variance from the final Hessian.
+    J = jax.jacfwd(lambda x: _residual_all(x, st, R_cb, t_cb, N))(out.x)
+    H = J.T @ J + jnp.diag(prior_diag)
+    H = H * vmask[:, None] * vmask[None, :] + jnp.diag(1.0 - vmask)
+    Hinv_col = jnp.linalg.solve(H + 1e-8 * jnp.eye(dim),
+                                jnp.eye(dim, 1)[:, 0])
+    s_var = Hinv_col[0]
+
+    n_valid = jnp.sum(st.valid.astype(jnp.float32))
+    ok = jnp.isfinite(out.e) & (n_valid >= 3)
+    return CoarseInitResult(
+        s_log=out.x[0], g2=out.x[1:3], bias=out.x[3:9],
+        v=out.x[9:].reshape(N, 3), energy=out.e, s_var=s_var, ok=ok,
+    )
+
+
+optimize_jit = jax.jit(optimize, static_argnames=("iters",))

@@ -29,6 +29,8 @@ from dmvio_tpu.models import coarse_tracker
 from dmvio_tpu.ops import immature, interp, select
 from dmvio_tpu.utils.camera import Calib, PATTERN
 
+_make_ref_jit = jax.jit(coarse_tracker.make_tracker_ref)
+
 
 class InitResult(NamedTuple):
     R: jnp.ndarray        # world-to-cam of the second keyframe (first = id)
@@ -80,7 +82,7 @@ class VisualInitializer:
         self.frames_since_first = 0
 
     def _track(self, new_pyr, idepth, mask, R0, t0):
-        ref = coarse_tracker.make_tracker_ref(
+        ref = _make_ref_jit(
             self.first_pyr, self.calib, self.sel.u, self.sel.v, idepth, mask
         )
         return coarse_tracker.track_jit(
@@ -92,10 +94,18 @@ class VisualInitializer:
         """Process one frame; returns an InitResult once snapped."""
         self.frames_since_first += 1
         flat_d = jnp.ones((self.n,), jnp.float32)
-        res = self._track(new_pyr, flat_d, self.sel.mask, self.last_R,
-                          self.last_t)
+        # Track from IDENTITY first: warm-starting the flat-cloud (all
+        # idepth = 1) alignment settles into a rotation-biased valley that
+        # underestimates translation and corrupts the epipolar directions
+        # for depth tracing; the cold coarse-to-fine solve finds the
+        # translation-rich minimum. Fall back to the warm start if cold
+        # fails (large accumulated motion).
+        res = self._track(new_pyr, flat_d, self.sel.mask,
+                          jnp.eye(3), jnp.zeros(3))
         if not bool(res.valid):
-            # Track failed: restart from identity next time.
+            res = self._track(new_pyr, flat_d, self.sel.mask, self.last_R,
+                              self.last_t)
+        if not bool(res.valid):
             self.last_R = jnp.eye(3)
             self.last_t = jnp.zeros(3)
             return None
@@ -116,7 +126,7 @@ class VisualInitializer:
         zeroI = jnp.zeros((self.n, 3))
         affI = jnp.zeros((self.n, 2))
         aff_n = jnp.stack([rho, b_aff])
-        for _ in range(self.rounds):
+        for rnd in range(self.rounds):
             pool = pool._replace(
                 idepth_min=jnp.zeros(self.n),
                 idepth_max=jnp.full((self.n,), immature.IDEPTH_MAX_INIT),
@@ -125,7 +135,10 @@ class VisualInitializer:
             pool = immature.trace(pool, eyeI, zeroI, affI, R, t, aff_n,
                                   new_pyr[0], self.calib)
             good = np.asarray(pool.status) == immature.IPS_GOOD
-            if good.sum() < 0.3 * self.n:
+            # The first round tolerates a thin harvest (the pose from flat
+            # tracking is biased; the re-track with measured depths fixes
+            # it and the next round re-traces much better).
+            if good.sum() < (0.15 if rnd == 0 else 0.3) * self.n:
                 return None
             d_mid = 0.5 * (pool.idepth_min + jnp.minimum(pool.idepth_max, 1e3))
             d_mid = jnp.clip(d_mid, 1e-3, 50.0)

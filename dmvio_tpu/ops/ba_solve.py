@@ -263,38 +263,45 @@ def marginalize_points_system(
     return HM_add, bM_add
 
 
+def schur_out(HM: jnp.ndarray, bM0: jnp.ndarray, marg: jnp.ndarray):
+    """Schur-complement an arbitrary coordinate set out of a dense prior.
+
+    `marg` is a [C] boolean mask of coordinates to eliminate (they need not
+    be contiguous — a VIO frame owns 8 visual + 9 IMU coords in different
+    blocks). Static shapes: the eliminated block is isolated by masking,
+    inverted via an eigen pseudo-inverse (the reference uses a
+    preconditioned pseudo-inverse, Marginalization.cpp:140-180), and the
+    eliminated rows/cols are zeroed so slots can be reused.
+    """
+    m = marg.astype(HM.dtype)
+    k = 1.0 - m
+    # Hbb on the eliminated block, identity elsewhere -> its inverse is
+    # block-diagonal with inv(Hbb) on the block and identity off it, and
+    # (H M) inv(...) (M H) = H[:,B] inv(Hbb) H[B,:].
+    Hbb_f = (m[:, None] * HM * m[None, :]) + jnp.diag(k)
+    Hbb_f = 0.5 * (Hbb_f + Hbb_f.T)
+    evals, evecs = jnp.linalg.eigh(Hbb_f)
+    inv_evals = jnp.where(
+        evals > 1e-8 * jnp.maximum(jnp.max(jnp.abs(evals)), 1e-12),
+        1.0 / evals, 0.0)
+    Hbb_inv = (evecs * inv_evals[None, :]) @ evecs.T
+    # Remove the keep-coordinate identity before using as pinv(Hbb).
+    Hbb_inv = m[:, None] * Hbb_inv * m[None, :]
+
+    HMm = HM * m[None, :]          # columns of the eliminated block
+    HM_new = HM - HMm @ Hbb_inv @ HMm.T
+    bM_new = bM0 - HMm @ (Hbb_inv @ (bM0 * m))
+
+    HM_new = HM_new * k[:, None] * k[None, :]
+    bM_new = bM_new * k
+    return 0.5 * (HM_new + HM_new.T), bM_new
+
+
 def marginalize_frame_prior(
     HM: jnp.ndarray, bM0: jnp.ndarray, slot: int, F: int
 ):
-    """Schur-complement one frame's 8 coords out of the prior.
-
-    Equivalent of EnergyFunctional::marginalizeFrame
-    (EnergyFunctional.cpp:522-673) operating on the fixed-slot layout: the
-    marginalized rows/cols are zeroed afterwards so the slot can be reused.
-    """
+    """Schur-complement one frame's 8 visual coords out of the prior
+    (EnergyFunctional::marginalizeFrame, EnergyFunctional.cpp:522-673)."""
     i0 = CPART + 8 * slot
     idx = jnp.arange(HM.shape[0])
-    inblk = (idx >= i0) & (idx < i0 + 8)
-
-    Hbb = jax.lax.dynamic_slice(HM, (i0, i0), (8, 8))
-    Hbb = 0.5 * (Hbb + Hbb.T)
-    # Pseudo-inverse via eigendecomposition (the prior block can be rank
-    # deficient; reference uses a preconditioned pseudo-inverse,
-    # Marginalization.cpp:140-180).
-    evals, evecs = jnp.linalg.eigh(Hbb)
-    inv_evals = jnp.where(evals > 1e-8 * jnp.maximum(jnp.max(evals), 1e-12),
-                          1.0 / evals, 0.0)
-    Hbb_inv = (evecs * inv_evals[None, :]) @ evecs.T
-
-    Hab = jax.lax.dynamic_slice(HM, (0, i0), (HM.shape[0], 8))
-    bb = jax.lax.dynamic_slice(bM0, (i0,), (8,))
-
-    HM_new = HM - Hab @ Hbb_inv @ Hab.T
-    bM_new = bM0 - Hab @ (Hbb_inv @ bb)
-
-    keep = ~inblk
-    km = keep.astype(HM.dtype)
-    HM_new = HM_new * km[:, None] * km[None, :]
-    bM_new = bM_new * km
-    HM_new = 0.5 * (HM_new + HM_new.T)
-    return HM_new, bM_new
+    return schur_out(HM, bM0, (idx >= i0) & (idx < i0 + 8))

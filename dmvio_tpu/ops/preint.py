@@ -1,0 +1,202 @@
+"""On-manifold IMU preintegration as a lax.scan.
+
+TPU-native replacement for the used subset of GTSAM's
+PreintegratedImuMeasurements (reference integrateIMUData,
+src/IMU/IMUUtils.h:37 / IMUIntegration.cpp:46-85): Forster-style
+preintegrated ΔR/Δv/Δp with first-order bias Jacobians and 9x9 covariance
+propagation. Measurement sequences are fixed-capacity padded arrays (dt = 0
+rows are exact no-ops), so one compiled scan serves every frame interval.
+
+Conventions:
+  * body frame = IMU frame; R = R_wb (body-to-world), p/v in metric world.
+  * gravity is -z in the metric world: g = (0, 0, -G).
+  * bias = [bg (3), ba (3)] (gyro first, like the state layout in
+    models/vio_ba.py).
+  * residual/state tangent ordering: [r_R(3), r_v(3), r_p(3)].
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dmvio_tpu.utils import lie
+
+GRAVITY = 9.8082  # reference IMUCalibration default (IMUSettings.h:126-135)
+
+
+class PreintState(NamedTuple):
+    """Preintegrated measurement between two stamps (at a bias lin point)."""
+
+    dR: jnp.ndarray       # [3, 3]
+    dv: jnp.ndarray       # [3]
+    dp: jnp.ndarray       # [3]
+    dt: jnp.ndarray       # scalar total time
+    # First-order bias Jacobians.
+    dR_dbg: jnp.ndarray   # [3, 3]
+    dv_dbg: jnp.ndarray   # [3, 3]
+    dv_dba: jnp.ndarray   # [3, 3]
+    dp_dbg: jnp.ndarray   # [3, 3]
+    dp_dba: jnp.ndarray   # [3, 3]
+    cov: jnp.ndarray      # [9, 9] on [r_R, r_v, r_p]
+    bias_lin: jnp.ndarray  # [6] bias linearization point [bg, ba]
+
+
+def identity_preint(bias: jnp.ndarray) -> PreintState:
+    I = jnp.eye(3, dtype=jnp.float32)
+    Z = jnp.zeros((3, 3), jnp.float32)
+    return PreintState(
+        dR=I, dv=jnp.zeros(3), dp=jnp.zeros(3), dt=jnp.asarray(0.0),
+        dR_dbg=Z, dv_dbg=Z, dv_dba=Z, dp_dbg=Z, dp_dba=Z,
+        cov=jnp.zeros((9, 9), jnp.float32),
+        bias_lin=jnp.asarray(bias, jnp.float32),
+    )
+
+
+def _right_jacobian(w: jnp.ndarray) -> jnp.ndarray:
+    """SO3 right Jacobian Jr(w) (Jr = Jl(-w))."""
+    t2 = jnp.sum(w * w)
+    t = jnp.sqrt(jnp.maximum(t2, 0.0))
+    small = t2 < 1e-8
+    b = jnp.where(small, 0.5 - t2 / 24.0,
+                  (1.0 - jnp.cos(t)) / jnp.where(small, 1.0, t2))
+    c = jnp.where(small, 1.0 / 6.0 - t2 / 120.0,
+                  (t - jnp.sin(t)) / jnp.where(small, 1.0, t2 * t))
+    W = lie.hat(w)
+    return jnp.eye(3, dtype=w.dtype) - b * W + c * (W @ W)
+
+
+def preintegrate(
+    acc: jnp.ndarray,       # [N, 3] accelerometer (body), padded
+    gyr: jnp.ndarray,       # [N, 3] gyroscope (body), padded
+    dts: jnp.ndarray,       # [N] integration intervals; 0 = padding
+    bias: jnp.ndarray,      # [6] = [bg, ba] linearization point
+    sigma_gyro: float = 1.6968e-4,     # reference tumvi.yaml noise values
+    sigma_acc: float = 2.0e-3,
+    sigma_integration: float = 1e-8,
+) -> PreintState:
+    """Scan all measurements into one PreintState."""
+    bg = bias[:3]
+    ba = bias[3:6]
+    cov_w = (sigma_gyro ** 2) * jnp.eye(3)
+    cov_a = (sigma_acc ** 2) * jnp.eye(3)
+    cov_i = (sigma_integration ** 2) * jnp.eye(3)
+
+    def step(st: PreintState, inp):
+        a, w, dt = inp
+        valid = dt > 0
+        dts_ = jnp.where(valid, dt, 0.0)
+        a_c = a - ba
+        w_c = (w - bg) * dts_
+        dRk = lie.so3_exp(w_c)
+        Jr = _right_jacobian(w_c)
+        aH = lie.hat(a_c)
+
+        dR_new = st.dR @ dRk
+        dv_new = st.dv + st.dR @ a_c * dts_
+        dp_new = st.dp + st.dv * dts_ + 0.5 * st.dR @ a_c * dts_ ** 2
+
+        # Bias Jacobians (Forster et al. eq. 44-46 recursions, rederived).
+        dR_dbg_new = dRk.T @ st.dR_dbg - Jr * dts_
+        dv_dbg_new = st.dv_dbg - st.dR @ aH @ st.dR_dbg * dts_
+        dv_dba_new = st.dv_dba - st.dR * dts_
+        dp_dbg_new = st.dp_dbg + st.dv_dbg * dts_ \
+            - 0.5 * st.dR @ aH @ st.dR_dbg * dts_ ** 2
+        dp_dba_new = st.dp_dba + st.dv_dba * dts_ - 0.5 * st.dR * dts_ ** 2
+
+        # Covariance propagation: x = [dθ, dv, dp].
+        Z = jnp.zeros((3, 3))
+        I = jnp.eye(3)
+        A = jnp.block([
+            [dRk.T, Z, Z],
+            [-st.dR @ aH * dts_, I, Z],
+            [-0.5 * st.dR @ aH * dts_ ** 2, I * dts_, I],
+        ])
+        B = jnp.block([
+            [Jr * dts_, Z, Z],
+            [Z, st.dR * dts_, Z],
+            [Z, 0.5 * st.dR * dts_ ** 2, st.dR * dts_],
+        ])
+        dt_safe = jnp.where(valid, dts_, 1.0)
+        Q = jnp.block([
+            [cov_w / dt_safe, Z, Z],
+            [Z, cov_a / dt_safe, Z],
+            [Z, Z, cov_i * dt_safe],
+        ])
+        cov_new = A @ st.cov @ A.T + B @ Q @ B.T
+
+        sel = lambda n, o: jnp.where(valid, n, o)
+        new = PreintState(
+            dR=sel(dR_new, st.dR), dv=sel(dv_new, st.dv),
+            dp=sel(dp_new, st.dp), dt=st.dt + dts_,
+            dR_dbg=sel(dR_dbg_new, st.dR_dbg),
+            dv_dbg=sel(dv_dbg_new, st.dv_dbg),
+            dv_dba=sel(dv_dba_new, st.dv_dba),
+            dp_dbg=sel(dp_dbg_new, st.dp_dbg),
+            dp_dba=sel(dp_dba_new, st.dp_dba),
+            cov=sel(cov_new, st.cov),
+            bias_lin=st.bias_lin,
+        )
+        return new, None
+
+    init = identity_preint(bias)
+    out, _ = jax.lax.scan(step, init, (acc, gyr, dts))
+    return out
+
+
+preintegrate_jit = jax.jit(preintegrate)
+
+
+def imu_residual(
+    pre: PreintState,
+    R_i: jnp.ndarray, p_i: jnp.ndarray, v_i: jnp.ndarray,
+    R_j: jnp.ndarray, p_j: jnp.ndarray, v_j: jnp.ndarray,
+    bias_i: jnp.ndarray,      # [6] current bias estimate at frame i
+    gravity_mag: float = GRAVITY,
+) -> jnp.ndarray:
+    """9-dim preintegration residual [r_R, r_v, r_p] (unweighted).
+
+    States are metric-world body poses (R = R_wb). Bias deviations from the
+    preintegration linearization point are corrected to first order
+    (gtsam::ImuFactor semantics used by BAIMULogic.cpp:235-324).
+    """
+    dbg = bias_i[:3] - pre.bias_lin[:3]
+    dba = bias_i[3:6] - pre.bias_lin[3:6]
+    g = jnp.array([0.0, 0.0, -gravity_mag])
+    dt = pre.dt
+
+    dR_corr = pre.dR @ lie.so3_exp(pre.dR_dbg @ dbg)
+    dv_corr = pre.dv + pre.dv_dbg @ dbg + pre.dv_dba @ dba
+    dp_corr = pre.dp + pre.dp_dbg @ dbg + pre.dp_dba @ dba
+
+    r_R = lie.so3_log(dR_corr.T @ R_i.T @ R_j)
+    r_v = R_i.T @ (v_j - v_i - g * dt) - dv_corr
+    r_p = R_i.T @ (p_j - p_i - v_i * dt - 0.5 * g * dt ** 2) - dp_corr
+    return jnp.concatenate([r_R, r_v, r_p])
+
+
+def sqrt_information(pre: PreintState, jitter: float = 1e-10) -> jnp.ndarray:
+    """Sqrt information W with W^T W = cov^{-1}.
+
+    cov = L L^T  =>  cov^{-1} = L^{-T} L^{-1} = (L^{-1})^T (L^{-1}), so
+    W = L^{-1}; weighting r' = W r makes ||r'||^2 the Mahalanobis energy.
+    """
+    cov = pre.cov + jitter * jnp.eye(9, dtype=pre.cov.dtype)
+    cov = 0.5 * (cov + cov.T)
+    L = jnp.linalg.cholesky(cov)
+    return jnp.linalg.inv(L)
+
+
+def bias_walk_sqrt_info(
+    dt: jnp.ndarray,
+    sigma_gyro_walk: float = 8.0e-5,   # reference tumvi.yaml
+    sigma_acc_walk: float = 3.0e-3,
+) -> jnp.ndarray:
+    """Sqrt information of the bias random-walk between-factor
+    (computeBiasNoiseModel, IMUUtils.h:40)."""
+    dt_safe = jnp.maximum(dt, 1e-6)
+    sg = 1.0 / (sigma_gyro_walk * jnp.sqrt(dt_safe))
+    sa = 1.0 / (sigma_acc_walk * jnp.sqrt(dt_safe))
+    return jnp.diag(jnp.concatenate([jnp.full(3, sg), jnp.full(3, sa)]))

@@ -1,0 +1,99 @@
+"""Dataset-mode CLI: run odometry over a DSO-format dataset folder.
+
+TPU-native equivalent of the reference's dmvio_dataset main
+(src/main_dmvio_dataset.cpp): parse `key=value` arguments (same names:
+files=, calib=, gammaCalib=, vignette=, imuFile=, tsFile=, gtFile=,
+resultsPrefix=, settingsFile=, preset=, nogui=, quiet=), run the pipeline
+frame by frame, and write result.txt / resultKFs.txt trajectories in TUM
+format (printResult parity, FullSystem.cpp:256-298) plus timings.
+
+Usage:
+    python -m dmvio_tpu.run_dataset files=DIR calib=camera.txt \
+        [imuFile=imu.txt tsFile=times.txt resultsPrefix=/tmp/out_]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def run(argv=None) -> dict:
+    argv = argv if argv is not None else sys.argv[1:]
+    from dmvio_tpu.io import dataset as ds
+    from dmvio_tpu.models import full_system, window
+    from dmvio_tpu.utils import trajectory
+    from dmvio_tpu.utils.settings import SettingsUtil
+    from dmvio_tpu.utils.timing import TimeMeasurement, save_results
+
+    su = SettingsUtil()
+    for name, default in [
+        ("files", ""), ("calib", ""), ("gammaCalib", ""), ("vignette", ""),
+        ("imuFile", ""), ("tsFile", ""), ("gtFile", ""),
+        ("resultsPrefix", "./"), ("settingsFile", ""),
+        ("preset", 0), ("nogui", 1), ("quiet", 0), ("useimu", 0),
+        ("maxFrames", -1), ("start", 0),
+    ]:
+        su.register(name, default)
+    cfg = window.Config()
+    su.register_from(cfg, prefix="")
+
+    leftover = [a for a in argv if not su.parse_arg(a)]
+    if su["settingsFile"]:
+        su.try_read_yaml(su["settingsFile"])
+        for a in argv:       # command line beats yaml (reference precedence)
+            su.parse_arg(a)
+    if leftover:
+        print(f"ignored arguments: {leftover}", file=sys.stderr)
+    su.apply_to(cfg)
+
+    reader = ds.open_dataset(
+        su["files"], su["calib"],
+        gamma=su["gammaCalib"] or None,
+        vignette=su["vignette"] or None,
+        imu_file=su["imuFile"] or None,
+        ts_file=su["tsFile"] or None,
+        gt_file=su["gtFile"] or None,
+    )
+    h, w = reader.undist.out_size[1], reader.undist.out_size[0]
+    fs = full_system.FullSystem(reader.undist.K_out, h, w, cfg)
+
+    n = len(reader)
+    if su["maxFrames"] > 0:
+        n = min(n, su["start"] + su["maxFrames"])
+
+    t_start = time.perf_counter()
+    for i in range(su["start"], n):
+        with TimeMeasurement("frame_total"):
+            img = reader.get_image(i)
+            fs.add_frame(img, reader.frames[i].timestamp)
+        if not su["quiet"] and i % 50 == 0:
+            print(f"frame {i}/{n} kf={fs.stats_kf} "
+                  f"init={fs.initialized} lost={fs.is_lost}")
+    wall = time.perf_counter() - t_start
+
+    prefix = su["resultsPrefix"]
+    est = fs.trajectory()
+    trajectory.write_tum(prefix + "result.txt", est)
+    kf_est = [e for e, sh in zip(est, fs.shells) if sh.is_kf]
+    trajectory.write_tum(prefix + "resultKFs.txt", kf_est)
+    save_results(prefix + "timings.txt")
+    su.print_all(open(prefix + "usedSettings.txt", "w").write)
+
+    n_proc = n - su["start"]
+    fps = n_proc / wall if wall > 0 else 0.0
+    summary = {
+        "frames": n_proc, "keyframes": fs.stats_kf, "fps": fps,
+        "initialized": fs.initialized, "lost": fs.is_lost,
+        "result": prefix + "result.txt",
+    }
+    if not su["quiet"]:
+        print(f"processed {n_proc} frames in {wall:.2f}s = {fps:.2f} fps; "
+              f"{fs.stats_kf} keyframes")
+    return summary
+
+
+if __name__ == "__main__":
+    run()

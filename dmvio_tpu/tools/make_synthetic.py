@@ -1,0 +1,81 @@
+"""Write a synthetic VIO dataset in the DSO folder format.
+
+Usage:
+    python -m dmvio_tpu.tools.make_synthetic out=/tmp/synth n=60 [w=320 h=256]
+
+Produces the same layout the reference's dataset reader (and ours,
+io/dataset.py) consumes: images/ PNG frames, times.txt (id ts exposure),
+camera.txt (Pinhole), imu.txt (ts gyro acc), gt.csv (TUM body poses), plus
+meta.npz with exact ground truth for evaluation.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    args = dict(a.split("=", 1) for a in (argv or sys.argv[1:]) if "=" in a)
+    out = args.get("out", "/tmp/dmvio_synth")
+    n = int(args.get("n", 60))
+    w = int(args.get("w", 320))
+    h = int(args.get("h", 256))
+    seed = int(args.get("seed", 0))
+
+    from PIL import Image
+
+    from dmvio_tpu.utils import lie, synthetic
+
+    seq = synthetic.generate_vio_sequence(n_frames=n, h=h, w=w, seed=seed)
+    calib = seq["calib"]
+
+    img_dir = os.path.join(out, "images")
+    os.makedirs(img_dir, exist_ok=True)
+
+    with open(os.path.join(out, "times.txt"), "w") as tf:
+        for i, ts in enumerate(seq["timestamps"]):
+            name = f"{i:05d}"
+            img = np.clip(np.asarray(seq["images"][i]), 0, 255).astype(
+                np.uint8)
+            Image.fromarray(img).save(os.path.join(img_dir, name + ".png"))
+            tf.write(f"{name} {ts:.6f} 1.0\n")
+
+    with open(os.path.join(out, "camera.txt"), "w") as cf:
+        cf.write(f"Pinhole {float(calib.fx)} {float(calib.fy)} "
+                 f"{float(calib.cx)} {float(calib.cy)} 0\n")
+        cf.write(f"{w} {h}\n")
+        cf.write(f"{float(calib.fx)} {float(calib.fy)} "
+                 f"{float(calib.cx)} {float(calib.cy)} 0\n")
+        cf.write(f"{w} {h}\n")
+
+    with open(os.path.join(out, "imu.txt"), "w") as mf:
+        for k in range(len(seq["imu_ts"])):
+            g = seq["gyr"][k]
+            a = seq["acc"][k]
+            # Sample covers (t, t+dt]; the reader associates by timestamp.
+            ts = seq["imu_ts"][k] + seq["imu_dt"]
+            mf.write(f"{ts:.6f} {g[0]:.9f} {g[1]:.9f} {g[2]:.9f} "
+                     f"{a[0]:.9f} {a[1]:.9f} {a[2]:.9f}\n")
+
+    import jax.numpy as jnp
+
+    with open(os.path.join(out, "gt.csv"), "w") as gf:
+        for i, ts in enumerate(seq["timestamps"]):
+            Rb = seq["R_body"][i]
+            p = seq["p_gt"][i]
+            q = np.asarray(lie.quat_from_rot(jnp.asarray(Rb)))
+            gf.write(f"{ts:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                     f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n")
+
+    np.savez(os.path.join(out, "meta.npz"),
+             p_gt=seq["p_gt"], v_gt=seq["v_gt"],
+             timestamps=seq["timestamps"],
+             s_dso=seq["s_dso"], g2=seq["g2"])
+    print(f"wrote {n} frames to {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -64,21 +64,27 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """Logarithm map SO3 -> so3. [..., 3, 3] -> [..., 3].
 
-    Uses the trace formula with small-angle and near-pi handling.
+    Formulated to be DIFFERENTIABLE at the identity: the naive
+    arccos(trace) route has an infinite derivative at t = 0 which poisons
+    even the selected Taylor branch of a jnp.where with NaN tangents (the
+    IMU-factor jacfwd hits exactly-consistent rotations all the time). Here
+    the small-angle factor is a smooth function of cos(t) only, and the
+    angle comes from atan2 on guarded inputs.
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    t = jnp.arccos(cos_t)
-    t2 = t * t
-    small = t2 < _EPS
-    # t / (2 sin t) with Taylor fallback
-    sin_t = jnp.sin(t)
-    factor = jnp.where(small, 0.5 + t2 / 12.0, t / jnp.where(small, 1.0, 2.0 * sin_t))
-    anti = vee(R - jnp.swapaxes(R, -1, -2))
+    anti = vee(R - jnp.swapaxes(R, -1, -2))   # 2 sin(t) * axis
+    sin2 = 0.25 * jnp.sum(anti * anti, axis=-1)
+    small = sin2 < 1e-12
+    sin_safe = jnp.sqrt(jnp.where(small, 1.0, sin2))
+    t = jnp.arctan2(sin_safe, cos_t)
+    # t / (2 sin t); near zero: 0.5 + t^2/12 ~ 0.5 + (1 - cos t)/6.
+    factor = jnp.where(small, 0.5 + (1.0 - cos_t) / 6.0,
+                       0.5 * t / sin_safe)
     w = anti * factor[..., None]
     # Near t = pi the antisymmetric part is poorly conditioned; recover the
     # axis exactly from the symmetric part: R + R^T = 2 cos(t) I + 2(1-cos t) aa^T.
-    near_pi = t > 2.9
+    near_pi = cos_t < -0.97
     S = (R + jnp.swapaxes(R, -1, -2)) * 0.5
     denom = jnp.maximum(1.0 - cos_t, _EPS)
     aaT = (S - cos_t[..., None, None] * jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), S.shape)) / denom[..., None, None]
@@ -91,7 +97,12 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     # where +/- w are equivalent).
     s = jnp.sign(jnp.sum(anti * axis, axis=-1))
     s = jnp.where(s == 0, 1.0, s)
-    w_pi = axis * (s * t)[..., None]
+    # Angle near pi from the cosine (t of the main branch is wrong when
+    # sin^2 ~ 0 there): with u = sqrt(2(1+cos t)),  pi - t = u (1 + u^2/24
+    # + O(u^4)).
+    u = jnp.sqrt(jnp.maximum(2.0 * (1.0 + cos_t), 0.0))
+    t_pi = jnp.pi - u * (1.0 + u * u / 24.0)
+    w_pi = axis * (s * t_pi)[..., None]
     return jnp.where(near_pi[..., None], w_pi, w)
 
 

@@ -94,6 +94,102 @@ def gt_idepth(scene: PlaneScene, R_cw, t_cw, calib: Calib, u, v):
     return 1.0 / ray_depth(scene, R_cw, t_cw, calib, u, v)
 
 
+def generate_vio_sequence(
+    n_frames: int = 60,
+    frame_dt: float = 0.05,
+    imu_hz: float = 200.0,
+    h: int = 256, w: int = 320,
+    calib: Calib | None = None,
+    scene: PlaneScene | None = None,
+    s_dso: float = 1.0,
+    g2: tuple = (0.05, -0.03),
+    accel_scale: float = 0.6,
+    rot_scale: float = 0.5,
+    imu_noise: bool = True,
+    bias=(0.0,) * 6,
+    seed: int = 0,
+):
+    """Full synthetic VIO sequence: rendered images + IMU + ground truth.
+
+    The body trajectory integrates analytic world accelerations/body rates
+    at IMU rate; camera == body; the DSO-world camera poses are the metric
+    poses transformed by (scale s_dso, gravity tangent g2) so every layer
+    of the stack (visual, transform, inertial) is exercised. Returns a dict
+    with images [N,H,W], imu samples, per-frame GT (metric body pose,
+    velocity), timestamps, and the calib.
+    """
+    import numpy as np
+
+    if calib is None:
+        calib = Calib.create(0.6 * w, 0.6 * w, w / 2 - 0.5, h / 2 - 0.5)
+    if scene is None:
+        scene = default_scene(depth=2.0)
+    rng = np.random.default_rng(seed)
+    dt = 1.0 / imu_hz
+    spf = max(int(round(frame_dt * imu_hz)), 1)
+    n_steps = spf * (n_frames - 1)
+    G = 9.8082
+    g_vec = np.array([0.0, 0.0, -G])
+    bias = np.asarray(bias, np.float64)
+
+    def a_world(t):
+        return accel_scale * np.array([
+            np.sin(2.3 * t), 0.8 * np.cos(1.9 * t) + 0.15,
+            0.5 * np.sin(1.3 * t + 0.5)])
+
+    def w_body(t):
+        return rot_scale * np.array([
+            0.5 * np.sin(1.6 * t) + 0.15, 0.45 * np.cos(1.2 * t),
+            0.35 * np.sin(0.9 * t) - 0.1])
+
+    R = np.eye(3)
+    p = np.zeros(3)
+    v = np.array([0.1, -0.05, 0.03])
+    accs, gyrs, imu_ts = [], [], []
+    states = [(R.copy(), p.copy(), v.copy())]
+    for k in range(n_steps):
+        t = k * dt
+        aw = a_world(t)
+        wb = w_body(t)
+        na = rng.normal(0, 2.0e-3 / np.sqrt(dt), 3) if imu_noise else 0.0
+        nw = rng.normal(0, 1.6968e-4 / np.sqrt(dt), 3) if imu_noise else 0.0
+        accs.append(R.T @ (aw - g_vec) + bias[3:6] + na)
+        gyrs.append(wb + bias[:3] + nw)
+        imu_ts.append(t)
+        p = p + v * dt + 0.5 * aw * dt ** 2
+        v = v + aw * dt
+        R = R @ np.asarray(lie.so3_exp(jnp.asarray(wb * dt)))
+        states.append((R.copy(), p.copy(), v.copy()))
+
+    R_g = np.asarray(lie.so3_exp(jnp.asarray([g2[0], g2[1], 0.0])))
+    images, R_dso, t_dso, v_gt, p_gt, R_b = [], [], [], [], [], []
+    for f in range(n_frames):
+        Rb, pb, vb = states[f * spf]
+        R_wc_d = R_g @ Rb
+        t_wc_d = s_dso * (R_g @ pb)
+        R_cw = jnp.asarray(R_wc_d.T, jnp.float32)
+        t_cw = jnp.asarray(-R_wc_d.T @ t_wc_d, jnp.float32)
+        images.append(render(scene, R_cw, t_cw, calib, h, w))
+        R_dso.append(R_cw)
+        t_dso.append(t_cw)
+        v_gt.append(vb)
+        p_gt.append(pb)
+        R_b.append(Rb)
+    return {
+        "images": images,
+        "timestamps": np.arange(n_frames) * frame_dt,
+        "acc": np.asarray(accs, np.float32),
+        "gyr": np.asarray(gyrs, np.float32),
+        "imu_ts": np.asarray(imu_ts),
+        "calib": calib,
+        "scene": scene,
+        "R_dso": R_dso, "t_dso": t_dso,
+        "p_gt": np.asarray(p_gt), "v_gt": np.asarray(v_gt), "R_body": R_b,
+        "steps_per_frame": spf, "imu_dt": dt,
+        "s_dso": s_dso, "g2": np.asarray(g2),
+    }
+
+
 def orbit_poses(num: int, radius: float = 0.08, z_step: float = 0.02,
                 yaw_step: float = 0.015):
     """A gentle camera trajectory: lateral arc with small rotations.
