@@ -64,6 +64,12 @@ def main():
 
     fps = N_MEAS / dt
     baseline_fps = 20.0  # TUM-VI camera rate = realtime requirement
+    import os, sys
+    if os.environ.get("BENCH_VERBOSE"):
+        from dmvio_tpu.utils.timing import get_stats
+        for k, v in sorted(get_stats().items()):
+            print(f"#   {k}: n={v['n']} mean={v['mean']*1e3:.1f}ms "
+                  f"max={v['max']*1e3:.1f}ms", file=sys.stderr)
     print(json.dumps({
         "metric": "vo_frames_per_second_512x512",
         "value": round(fps, 3),

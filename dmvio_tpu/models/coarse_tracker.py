@@ -60,6 +60,8 @@ class TrackResult(NamedTuple):
     b_aff: jnp.ndarray        # relative brightness offset
     v: jnp.ndarray            # [3] velocity (meaningful with an IMU prior)
     bias: jnp.ndarray         # [6] IMU bias [bg, ba]
+    H_vis: jnp.ndarray        # [8,8] finest-level photometric Hessian in
+                              # Mahalanobis units (for the coarse filter)
     level_energy: jnp.ndarray  # [L] final mean energy per level (fine = idx 0)
     level_terms: jnp.ndarray   # [L] term counts
     flow_t: jnp.ndarray
@@ -235,8 +237,10 @@ def _track_level(
             step_v = step[8:11]
             step_b = step[11:17]
         Rn, tn = lie.se3_retract(st.R, st.t, step8[:6])
-        rhon = st.rho + step8[6]
-        bn = st.b_aff + step8[7]
+        # Hard bounds on the brightness pair: under a conflicting prior the
+        # affine DOFs are the escape valve and can run away to overflow.
+        rhon = jnp.clip(st.rho + step8[6], -2.0, 2.0)
+        bn = jnp.clip(st.b_aff + step8[7], -80.0, 80.0)
         vn = st.v + step_v
         biasn = st.bias + step_b
         en, nn = mean_energy(Rn, tn, rhon, bn, vn, biasn, st.cutoff_mult,
@@ -320,26 +324,46 @@ def track(
     # a zero-energy "fit" there must not count as a valid track.
     pose_info = jnp.trace(H_fin[:6, :6]) / jnp.maximum(level_terms[0], 1.0)
     enough = enough & (pose_info > 1e-3)
+    valid = finite & enough
+    # ONE packed stats array: scalar fetches cost ~400 ms each through the
+    # device tunnel while a single small-array fetch is ~milliseconds; the
+    # host parses everything it needs from this.
+    packed = jnp.concatenate([
+        R.reshape(-1), t, rho[None], b_aff[None], v, bias,      # 0:23
+        jnp.stack([stats.flow_t, stats.flow_rt]),               # 23:25
+        level_energy, level_terms,                              # 25:25+2L
+        valid.astype(jnp.float32)[None],                        # 25+2L
+        (H_fin * W_PHOTO).reshape(-1),                          # +1 : +65
+    ])
     return TrackResult(
         R=R, t=t, rho=rho, b_aff=b_aff, v=v, bias=bias,
+        H_vis=H_fin * W_PHOTO,
         level_energy=level_energy, level_terms=level_terms,
         flow_t=stats.flow_t, flow_rt=stats.flow_rt,
-        valid=finite & enough,
-    )
+        valid=valid,
+    ), packed
 
 
 track_jit = jax.jit(track, static_argnames="levels")
 
 
-def final_hessian(ref: TrackerRef, new_pyr, calib0: Calib, res: TrackResult):
-    """Finest-level photometric Hessian at the tracked state, in prior
-    (Mahalanobis) units — the visual information handed to the coarse-IMU
-    propagation (addVisualToCoarseGraph, CoarseTracker.cpp:766)."""
-    H, _, stats = align.calc_res_and_gs(
-        new_pyr[0], calib0, ref.clouds[0], res.R, res.t,
-        jnp.exp(res.rho), res.b_aff, HUBER_TH, CUTOFF_TH, 1.0,
-    )
-    return H * W_PHOTO
+class PackedTrack:
+    """Host-side view of the packed tracker stats array."""
 
+    def __init__(self, arr: "np.ndarray", levels: int):
+        import numpy as np
 
-final_hessian_jit = jax.jit(final_hessian)
+        a = np.asarray(arr)
+        self.R = a[0:9].reshape(3, 3)
+        self.t = a[9:12]
+        self.rho = float(a[12])
+        self.b_aff = float(a[13])
+        self.v = a[14:17]
+        self.bias = a[17:23]
+        self.flow_t = float(a[23])
+        self.flow_rt = float(a[24])
+        L = levels
+        self.level_energy = a[25:25 + L]
+        self.level_terms = a[25 + L:25 + 2 * L]
+        self.valid = a[25 + 2 * L] > 0.5
+        self.H_vis = a[26 + 2 * L:26 + 2 * L + 64].reshape(8, 8)

@@ -24,49 +24,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from dmvio_tpu.models import ba, coarse_tracker, initializer, window
-from dmvio_tpu.ops import immature, interp, pyramid, select
+from dmvio_tpu.models import imu_system, vio_ba
+from dmvio_tpu.ops import ba_solve, immature, interp, pyramid, select
 from dmvio_tpu.ops.residuals import BAFrames, BAPoints
 from dmvio_tpu.utils import lie
 from dmvio_tpu.utils.camera import Calib, PATTERN
+from dmvio_tpu.utils.timing import TimeMeasurement
 
 
-@jax.jit
-def _project_into(frames: BAFrames, host, u, v, idepth, calib: Calib, slot):
-    """Project per-point host pixels into window frame `slot`.
-
-    Returns (u', v', idepth', valid). The batched analogue of the
-    reference's FrameFramePrecalc + projectPoint pairing."""
-    R_h = frames.R_cw[host]
-    t_h = frames.t_cw[host]
-    R_t = frames.R_cw[slot]
-    t_t = frames.t_cw[slot]
-    R_th = jnp.einsum("ij,pkj->pik", R_t, R_h)
-    t_th = t_t[None] - jnp.einsum("pij,pj->pi", R_th, t_h)
-    xr = (u - calib.cx) / calib.fx
-    yr = (v - calib.cy) / calib.fy
-    ray = jnp.stack([xr, yr, jnp.ones_like(xr)], axis=-1)
-    pt = jnp.einsum("pij,pj->pi", R_th, ray) + t_th * idepth[:, None]
-    pz = pt[..., 2]
-    valid = pz > 1e-6
-    pzs = jnp.where(valid, pz, 1.0)
-    un = pt[..., 0] / pzs * calib.fx + calib.cx
-    vn = pt[..., 1] / pzs * calib.fy + calib.cy
-    return un, vn, idepth / pzs, valid
-
-
-@jax.jit
-def _pattern_colors(level0: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
-    """Host pattern intensities + gradient weights at new point locations
-    (the data stored at point birth, ImmaturePoint ctor)."""
-    pat = jnp.asarray(PATTERN)
-    samp = jax.vmap(
-        lambda uu, vv: interp.bilinear_stack(level0, uu + pat[:, 0],
-                                             vv + pat[:, 1])
-    )(u, v)
-    color = samp[..., 0]
-    g2 = samp[..., 1] ** 2 + samp[..., 2] ** 2
-    weight = jnp.sqrt(2500.0 / (2500.0 + g2))
-    return color, weight
+from dmvio_tpu.models import window_ops
+from dmvio_tpu.models.window_ops import (pattern_colors as _pattern_colors,
+                                         project_into as _project_into)
 
 
 @jax.jit
@@ -80,7 +48,6 @@ def _trace_jit(imm, frames, R_cw, t_cw, aff_new, level0, calib):
 
 
 _make_ref_jit = jax.jit(coarse_tracker.make_tracker_ref)
-_activate_jit = jax.jit(immature.activate)
 
 
 class TrackInfo(NamedTuple):
@@ -91,11 +58,18 @@ class TrackInfo(NamedTuple):
 
 
 class FullSystem:
-    """Monocular visual odometry (IMU extensions attach at the seams)."""
+    """Monocular visual(-inertial) odometry.
+
+    Pass `imu_calib` to enable the inertial stack: IMU-aided coarse
+    tracking, coarse IMU init, and joint visual-inertial BA (the seams the
+    reference wires through IMUIntegration, IMUIntegration.hpp:66-204)."""
 
     def __init__(self, calib: Calib, h: int, w: int,
-                 cfg: Optional[window.Config] = None):
+                 cfg: Optional[window.Config] = None,
+                 imu_calib: Optional[imu_system.IMUCalib] = None):
         self.cfg = cfg or window.Config()
+        self.imu = (imu_system.IMUSystem(imu_calib, self.cfg.f_max)
+                    if imu_calib is not None else None)
         self.calib = calib
         self.h, self.w = h, w
         self.win = window.Window(calib, h, w, self.cfg)
@@ -125,12 +99,20 @@ class FullSystem:
         self.last_rho = 0.0
         self.last_b = 0.0
         self.track_energy_ref = 1.0   # running mean of achieved track energy
+        self._n_active = 0.0          # density estimate (lagged one KF)
         self.stats_kf = 0
 
     # ------------------------------------------------------------------
-    def add_frame(self, img: jnp.ndarray, timestamp: float) -> None:
-        """Feed one photometrically-corrected [H, W] image."""
-        pyr = tuple(pyramid.build_pyramid_jit(img, levels=self.cfg.levels))
+    def add_frame(self, img: jnp.ndarray, timestamp: float,
+                  imu_data=None) -> None:
+        """Feed one photometrically-corrected [H, W] image.
+
+        imu_data: optional (acc [N,3], gyr [N,3], dts [N]) measurements
+        since the previous frame (addActiveFrame's imuData argument)."""
+        if self.imu is not None and imu_data is not None:
+            self.imu.add_frame_imu(*imu_data)
+        with TimeMeasurement("pyramid"):
+            pyr = tuple(pyramid.build_pyramid_jit(img, levels=self.cfg.levels))
         fid = self.frame_id
         self.frame_id += 1
 
@@ -164,24 +146,39 @@ class FullSystem:
             return
 
         # ---- tracking front-end ----
-        res, need_kf = self._track_frame(pyr)
+        with TimeMeasurement("coarse_tracking"):
+            res, pk, need_kf = self._track_frame(pyr)
         self.shells.append(window.FrameShell(
             frame_id=fid, timestamp=timestamp, ref_kf_id=self.ref_kf_id,
-            R_c_ref=np.asarray(res.R), t_c_ref=np.asarray(res.t)))
+            R_c_ref=pk.R.copy(), t_c_ref=pk.t.copy()))
 
-        # Absolute pose of the new frame for tracing/keyframing.
-        R_ref, t_ref = self.ref_pose_np
-        R_cw = jnp.asarray(np.asarray(res.R) @ R_ref)
-        t_cw = jnp.asarray(np.asarray(res.R) @ t_ref + np.asarray(res.t))
-        aff_ref = self.ref_aff_np
-        a_new = float(aff_ref[0]) + float(res.rho)
-        b_new = float(res.b_aff) + float(np.exp(float(res.rho))) * aff_ref[1]
-        aff_new = jnp.asarray([a_new, b_new], jnp.float32)
+        # Absolute pose on DEVICE (trace dispatch never waits on a fetch);
+        # the host mirrors it from the packed stats + cached ref pose.
+        R_cw, t_cw, aff_new = window_ops.compose_abs_pose(
+            res.R, res.t, res.rho, res.b_aff, self.win.frames,
+            self.ref_kf_slot)
 
-        self._trace_pool(R_cw, t_cw, aff_new, pyr)
+        with TimeMeasurement("trace"):
+            self._trace_pool(R_cw, t_cw, aff_new, pyr)
 
-        if need_kf:
-            self._make_keyframe(pyr, timestamp, fid, R_cw, t_cw, aff_new)
+        if self.imu is not None:
+            R_cw_np = pk.R @ self.ref_pose_np[0]
+            t_cw_np = pk.R @ self.ref_pose_np[1] + pk.t
+            if self.imu.phase == imu_system.ACTIVE:
+                # Fold the visual evidence into the coarse belief and move
+                # its center to the tracked state (addVisualToCoarseGraph).
+                self.imu.fuse_tracked(pk.H_vis, R_cw_np, t_cw_np,
+                                      pk.v, pk.bias)
+            else:
+                self.imu.record_init_pose(fid, self.ref_kf_id,
+                                          pk.R, pk.t, R_cw_np)
+
+        if need_kf and not self.is_lost:
+            # Never build a keyframe from an untracked pose — a garbage KF
+            # poisons the window beyond recovery (the reference aborts the
+            # run on isLost; we keep predicting and retry instead).
+            with TimeMeasurement("keyframe_total"):
+                self._make_keyframe(pyr, timestamp, fid, R_cw, t_cw, aff_new)
 
     # ------------------------------------------------------------------
     def _slot_pose(self, slot: int):
@@ -203,20 +200,42 @@ class FullSystem:
             (lR, lt),                                        # zero motion
             (np.eye(3, dtype=np.float32), np.zeros(3, np.float32)),
         ]
+        # IMU-aided path: the predicted pose leads the candidate ladder and
+        # a 17-dof prior joins every LM solve (computeCoarseUpdate).
+        prior = None
+        v_init = None
+        bias_init = None
+        if self.imu is not None:
+            pred = self.imu.predict_coarse()
+            if pred is not None:
+                R_ref, t_ref = self.ref_pose_np
+                R_rel = pred.R_cw @ np.asarray(R_ref, np.float64).T
+                t_rel = pred.t_cw - R_rel @ np.asarray(t_ref, np.float64)
+                cand.insert(0, (R_rel.astype(np.float32),
+                                t_rel.astype(np.float32)))
+                prior = self.imu.coarse_prior(R_ref, t_ref,
+                                              self.last_rho, self.last_b)
+                v_init = jnp.asarray(pred.v, jnp.float32)
+                bias_init = jnp.asarray(pred.bias, jnp.float32)
         best = None
+        best_res = None
         best_e = float("inf")
         for (R0, t0) in cand:
-            res = coarse_tracker.track_jit(
+            res, packed = coarse_tracker.track_jit(
                 self.tracker_ref, pyr, self.calib,
                 jnp.asarray(R0), jnp.asarray(t0),
                 jnp.asarray(self.last_rho, jnp.float32),
                 jnp.asarray(self.last_b, jnp.float32),
                 levels=self.cfg.levels,
+                prior=prior, v_init=v_init, bias_init=bias_init,
             )
-            rnp = jax.device_get(res)   # single transfer for all fields
-            e = float(rnp.level_energy[0])
-            if bool(rnp.valid) and e < best_e:
-                best, best_e = rnp, e
+            # ONE small-array fetch carries every stat the host needs
+            # (scalar fetches cost ~400 ms through the tunnel).
+            pk = coarse_tracker.PackedTrack(np.asarray(packed),
+                                            self.cfg.levels)
+            e = float(pk.level_energy[0])
+            if pk.valid and e < best_e:
+                best, best_res, best_e = pk, res, e
             # Good enough relative to recent tracking quality -> stop
             # trying further initializations (reference achievedRes ladder
             # with setting_reTrackThreshold, FullSystem.cpp:320-430).
@@ -224,26 +243,27 @@ class FullSystem:
                 break
         if best is None:
             self.is_lost = True
-            best = rnp  # keep last attempt; pose = prediction
+            best, best_res = pk, res  # keep last attempt (= prediction)
         else:
+            self.is_lost = False   # a valid track recovers the system
             self.track_energy_ref = 0.7 * self.track_energy_ref + 0.3 * best_e
         # Constant-velocity model update (host-side numpy: tiny matrices).
-        lR_new = np.asarray(best.R)
-        lt_new = np.asarray(best.t)
+        lR_new = best.R
+        lt_new = best.t
         self.motion = (lR_new @ lR.T, lt_new - lR_new @ lR.T @ lt)
         self.T_last_ref = (lR_new, lt_new)
-        self.last_rho = float(best.rho)
-        self.last_b = float(best.b_aff)
+        self.last_rho = best.rho
+        self.last_b = best.b_aff
 
         # Keyframe decision (FullSystem.cpp:1038-1100 heuristic).
         cfg = self.cfg
         score = cfg.kf_weight * (
-            cfg.w_flow_t * float(best.flow_t) / (self.w + self.h)
-            + cfg.w_flow_rt * float(best.flow_rt) / (self.w + self.h)
-            + cfg.w_aff * abs(float(best.rho))
+            cfg.w_flow_t * best.flow_t / (self.w + self.h)
+            + cfg.w_flow_rt * best.flow_rt / (self.w + self.h)
+            + cfg.w_aff * abs(best.rho)
         )
         need_kf = score > 1.0
-        return best, need_kf
+        return best_res, best, need_kf
 
     def _trace_pool(self, R_cw, t_cw, aff_new, pyr):
         """Trace all immature points against the new frame (traceNewCoarse,
@@ -265,7 +285,6 @@ class FullSystem:
         w.insert_frame(1, fid, pyr, r.R, r.t, aff1)
         w.set_frame_prior(1, 0.0, cfg.aff_a_prior, cfg.aff_b_prior)
 
-        n = int(np.asarray(r.mask).sum())
         hosts = np.zeros(r.u.shape[0], np.int32)
         w.add_points(hosts, r.u, r.v, r.idepth, r.color, r.weight, r.mask)
 
@@ -281,190 +300,290 @@ class FullSystem:
         self._spawn_immatures(1, pyr)
         self.initialized = True
         self.stats_kf = 2
+        if self.imu is not None:
+            # Visual init rescaled the world (median idepth -> 1): poses
+            # recorded before it live at a different scale; restart the
+            # IMU-init pose window from here.
+            self.imu._init_poses.clear()
+            self.imu._init_pres.clear()
+            self.imu._init_fids.clear()
+            self.imu._init_dts.clear()
+            self.imu._kf_acc.clear()
+            self.imu._kf_gyr.clear()
+            self.imu._kf_dts.clear()
+            self.imu.phase = imu_system.COARSE_INIT
 
     # ------------------------------------------------------------------
     def _make_keyframe(self, pyr, ts, fid, R_cw, t_cw, aff_new):
         cfg = self.cfg
         w = self.win
         slot = w.free_frame_slot()
+        prev_slot = self.ref_kf_slot
         w.insert_frame(slot, fid, pyr, R_cw, t_cw, aff_new)
         w.set_frame_prior(slot, 0.0, cfg.aff_a_prior, cfg.aff_b_prior)
         self.shells[-1].is_kf = True
         self.stats_kf += 1
 
-        self._activate_points(slot)
-        self._run_ba(max_iters=cfg.ba_iters)
-        w.set_fej_to_current(slot)
-        self._record_kf_poses()
-        self._marginalize(slot)
-        self._record_kf_poses()
+        if self.imu is not None:
+            pred_v = (np.asarray(self.imu.coarse.v)
+                      if self.imu.coarse is not None else None)
+            self.imu.on_new_keyframe(prev_slot, slot, pred_v)
 
-        self._set_tracker_ref(slot, fid)
-        self._spawn_immatures(slot, pyr)
+        with TimeMeasurement("activate"):
+            self._activate_points(slot)
+        with TimeMeasurement("ba_optimize"):
+            self._run_ba(max_iters=cfg.ba_iters)
+        w.frames = window_ops.set_fej_current(w.frames, slot)
+        self._imu_set_fej(slot)
+        # One packed stats fetch drives the marginalization decision, the
+        # density estimate, and the KF pose records.
+        stats_np = np.asarray(window_ops.marg_stats(
+            w.frames, w.points, w.pair_mask))
+        F = cfg.f_max
+        self._n_active = float(stats_np[4 * F])
+        pose_pack = self._record_kf_poses()
+        with TimeMeasurement("marginalize"):
+            self._marginalize(slot, stats_np)
+        with TimeMeasurement("tracker_ref"):
+            self._set_tracker_ref(slot, fid, pose_pack)
+        with TimeMeasurement("spawn_immatures"):
+            self._spawn_immatures(slot, pyr)
+
+        if self.imu is not None:
+            if self.imu.phase == imu_system.COARSE_INIT:
+                # postBAInit seam: run the coarse IMU init; take over when
+                # the scale marginal is trustworthy.
+                if self.imu.try_initialize(self.kf_poses):
+                    self._imu_activate(slot)
+            if self.imu.phase == imu_system.ACTIVE:
+                self.imu.reinit_coarse_from_ba(
+                    w.frames.R_cw[slot], w.frames.t_cw[slot], slot)
+
+    def _imu_set_fej(self, slot: int) -> None:
+        if self.imu is None or self.imu.states is None:
+            return
+        st = self.imu.states
+        self.imu.states = st._replace(
+            v0=st.v0.at[slot].set(st.v[slot]),
+            bg0=st.bg0.at[slot].set(st.bg[slot]),
+            ba0=st.ba0.at[slot].set(st.ba[slot]),
+        )
+
+    def _imu_activate(self, newest_slot: int) -> None:
+        """COARSE_INIT -> ACTIVE takeover (initFromIMUInit seam,
+        BAIMULogic.cpp:683): build VIO states around the current window and
+        convert the visual marginalization prior into the extended units."""
+        w = self.win
+        imu = self.imu
+        imu.activate(w.frames, w.slot_frame_id, imu.init_velocity_of)
+        Cv = ba_solve.cdim(self.cfg.f_max)
+        imu.HM = vio_ba.embed_vis(w.HM * vio_ba.W_DSO, self.cfg.f_max)
+        imu.bM0 = vio_ba.embed_vis(w.bM0 * vio_ba.W_DSO, self.cfg.f_max)
+        imu.reinit_coarse_from_ba(
+            w.frames.R_cw[newest_slot], w.frames.t_cw[newest_slot],
+            newest_slot)
+
+    def _vio_mode(self) -> bool:
+        return (self.imu is not None
+                and self.imu.phase == imu_system.ACTIVE
+                and self.imu.states is not None)
+
+    def _ext_prior_diag(self) -> jnp.ndarray:
+        """Extended prior diagonal: visual priors converted to Mahalanobis
+        units + the IMU-block priors."""
+        w = self.win
+        Cv = ba_solve.cdim(self.cfg.f_max)
+        return jnp.concatenate([
+            w.prior_diag * vio_ba.W_DSO, self.imu.prior_diag[Cv:]])
 
     def _run_ba(self, max_iters: int):
         w = self.win
+        base = ba.BAProblem(
+            frames=w.frames, points=w.points, calib=w.calib,
+            calib0=w.calib0, HM=w.HM, bM0=w.bM0,
+            prior_diag=w.prior_diag, pair_mask=w.pair_mask,
+        )
+        if self._vio_mode():
+            imu = self.imu
+            problem = vio_ba.VIOProblem(
+                base=base, states=imu.states, pairs=imu.device_pairs(),
+                HM=imu.HM, bM0=imu.bM0, prior_diag=self._ext_prior_diag(),
+                R_cb=imu.R_cb, t_cb=imu.t_cb, imu_on=jnp.asarray(True),
+            )
+            result = vio_ba.optimize_jit(problem, w.images,
+                                         max_iters=max_iters)
+            imu.states = result.states
+        else:
+            result = ba.optimize_jit(base, w.images, max_iters=max_iters)
+        w.frames = result.frames
+        w.points = result.points
+        w.calib = result.calib
+        self.calib = result.calib
+        # Drop outlier pairs + orphaned points, all on device.
+        w.points, w.pair_mask = window_ops.post_ba_update(
+            w.points, w.pair_mask, result.pair_outlier)
+        return result
+
+    def _record_kf_poses(self, pack_np: Optional[np.ndarray] = None):
+        """Record window poses into kf_poses from ONE packed fetch."""
+        w = self.win
+        F = self.cfg.f_max
+        if pack_np is None:
+            pack_np = np.asarray(window_ops.kf_pose_pack(w.frames))
+        R = pack_np[:9 * F].reshape(F, 3, 3)
+        t = pack_np[9 * F:12 * F].reshape(F, 3)
+        for s in range(F):
+            fid = w.slot_frame_id[s]
+            if fid is not None:
+                self.kf_poses[fid] = (R[s].copy(), t[s].copy())
+        return pack_np
+
+    # ------------------------------------------------------------------
+    def _activate_points(self, new_slot: int):
+        """Activate well-traced immatures with spatial spreading, entirely
+        on device (activatePointsMT, FullSystem.cpp:604). The spreading
+        radius adapts to the point density estimated at the PREVIOUS
+        keyframe (currentMinActDist feedback, FullSystem.cpp:606-630) —
+        lagged by one KF so no extra fetch is needed."""
+        w = self.win
+        ratio = self._n_active / max(self.cfg.p_max, 1)
+        use_spacing = ratio >= 0.5
+        radius = 0 if ratio < 0.8 else (1 if ratio < 1.0 else 2)
+        self.imm, w.points, w.pair_mask = window_ops.activate_and_admit(
+            self.imm, w.frames, w.points, w.pair_mask, w.images, w.calib,
+            new_slot, h=self.h, w=self.w, radius=radius,
+            use_spacing=use_spacing)
+
+    # ------------------------------------------------------------------
+    def _marginalize(self, newest_slot: int, stats_np: np.ndarray):
+        """Frame selection + point/frame marginalization
+        (flagFramesForMarginalization heuristic, FullSystemMarginalize.cpp:
+        61). Decisions come from the packed stats fetch; the math runs on
+        device with a padded victim list (static shapes)."""
+        w = self.win
+        F = self.cfg.f_max
+        slots = w.slots_by_age()
+        if len(slots) <= self.cfg.max_frames:
+            return
+        n_drop = len(slots) - self.cfg.max_frames
+        eligible = slots[:-2] if len(slots) > 2 else []
+        if not eligible:
+            return
+        t = stats_np[:3 * F].reshape(F, 3)
+        scores = []
+        for s_ in eligible:
+            dists = [np.linalg.norm(t[s_] - t[j]) for j in slots if j != s_]
+            d_latest = np.linalg.norm(t[s_] - t[newest_slot])
+            scores.append(-np.sqrt(d_latest) * sum(
+                1.0 / (1e-5 + d) for d in dists))
+        victims = [eligible[i] for i in np.argsort(scores)[:n_drop]]
+
+        vlist = np.full(F, -1, np.int32)
+        vlist[:len(victims)] = victims
+        vlist_j = jnp.asarray(vlist)
+        hosted, marg_pts, pair_rows_cleared = window_ops.victims_masks(
+            w.points, w.pair_mask, vlist_j)
+
+        vio = self._vio_mode()
         problem = ba.BAProblem(
             frames=w.frames, points=w.points, calib=w.calib,
             calib0=w.calib0, HM=w.HM, bM0=w.bM0,
             prior_diag=w.prior_diag, pair_mask=w.pair_mask,
         )
-        result = ba.optimize_jit(problem, w.images, max_iters=max_iters)
-        w.frames = result.frames
-        w.points = result.points
-        w.calib = result.calib
-        self.calib = result.calib
-        # Drop outlier pairs; then points with no remaining observations.
-        out = np.asarray(result.pair_outlier)
-        if out.any():
-            pm = np.array(w.pair_mask)
-            pm &= ~out
-            w.pair_mask = jnp.asarray(pm)
-        pairs_left = np.asarray(w.pair_mask).sum(axis=0)
-        dead = w.point_mask_np() & (pairs_left == 0)
-        w.drop_points(dead)
-        return result
-
-    def _record_kf_poses(self):
-        w = self.win
-        fm = w.frame_mask_np()
-        R = np.asarray(w.frames.R_cw)
-        t = np.asarray(w.frames.t_cw)
-        for s in np.where(fm)[0]:
-            fid = w.slot_frame_id[s]
-            if fid is not None:
-                self.kf_poses[fid] = (R[s].copy(), t[s].copy())
-
-    # ------------------------------------------------------------------
-    def _activate_points(self, new_slot: int):
-        """Activate well-traced immatures with spatial spreading
-        (activatePointsMT, FullSystem.cpp:604)."""
-        w = self.win
-        pool = self.imm
-        live = np.asarray(pool.mask)
-        status = np.asarray(pool.status)
-        quality = np.asarray(pool.quality)
-        dmin = np.asarray(pool.idepth_min)
-        dmax = np.asarray(pool.idepth_max)
-        mid = 0.5 * (dmin + np.minimum(dmax, 1e3))
-        tight = (dmax - dmin) < np.maximum(0.25 * mid, 0.05)
-        # SKIPPED means the interval is already tight — those are the best
-        # candidates (reference canActivate accepts GOOD/SKIPPED/OOB/
-        # BADCONDITION, FullSystem.cpp:620-626).
-        cand = live & np.isin(status, (immature.IPS_GOOD,
-                                       immature.IPS_SKIPPED)) & \
-            (quality > immature.MIN_TRACE_QUALITY) & tight & (mid > 1e-3)
-        n_free = int((~w.point_mask_np()).sum())
-        if n_free == 0 or not cand.any():
-            return
-        # Spacing: project actives and candidates into the new KF. The
-        # spreading radius adapts to point density (the reference's
-        # currentMinActDist feedback, FullSystem.cpp:606-630): starved
-        # windows activate everything, saturated ones demand spacing.
-        d_mid = jnp.clip(
-            0.5 * (pool.idepth_min + jnp.minimum(pool.idepth_max, 1e3)),
-            1e-3, 50.0)
-        cu, cv, _, cvalid = _project_into(
-            w.frames, pool.host, pool.u, pool.v, d_mid, w.calib, new_slot)
-        n_active = int(w.point_mask_np().sum())
-        ratio = n_active / max(self.cfg.p_max, 1)
-        if ratio < 0.5:
-            clear = np.ones(self.cfg.i_max, bool)
+        if vio:
+            vproblem = vio_ba.VIOProblem(
+                base=problem, states=self.imu.states,
+                pairs=self.imu.device_pairs(), HM=self.imu.HM,
+                bM0=self.imu.bM0, prior_diag=self._ext_prior_diag(),
+                R_cb=self.imu.R_cb, t_cb=self.imu.t_cb,
+                imu_on=jnp.asarray(True))
+            HM_add, bM_add = vio_ba.marginalize_points_ext_jit(
+                vproblem, w.images, marg_pts, F)
+            self.imu.HM = self.imu.HM + HM_add
+            self.imu.bM0 = self.imu.bM0 + bM_add
         else:
-            au, av, _, avalid = _project_into(
-                w.frames, w.points.host, w.points.u, w.points.v,
-                w.points.idepth, w.calib, new_slot)
-            radius = 0 if ratio < 0.8 else (1 if ratio < 1.0 else 2)
-            clear = np.asarray(select.occupancy_spacing(
-                au, av, w.points.mask & avalid, cu, cv, self.h, self.w,
-                radius=radius, cell=8))
-        cand &= clear & np.asarray(cvalid)
-        if not cand.any():
-            return
-        d, ok, energy = _activate_jit(
-            pool, jnp.asarray(cand), w.frames.R_cw, w.frames.t_cw,
-            w.frames.aff, w.frames.mask, w.images, w.calib)
-        ok_np = np.asarray(ok) & cand
-        # Cap to free capacity, best quality first.
-        if ok_np.sum() > n_free:
-            order = np.argsort(-quality * ok_np)
-            keep = np.zeros_like(ok_np)
-            keep[order[:n_free]] = True
-            ok_np &= keep
-        w.add_points(np.asarray(pool.host), pool.u, pool.v, d,
-                     pool.color, pool.weight, jnp.asarray(ok_np))
-        # Activated (and failed-activation) candidates leave the pool.
-        gone = cand
-        self.imm = pool._replace(mask=pool.mask & ~jnp.asarray(gone))
-
-    # ------------------------------------------------------------------
-    def _marginalize(self, newest_slot: int):
-        """Frame selection + point/frame marginalization
-        (flagFramesForMarginalization heuristic, FullSystemMarginalize.cpp:61)."""
-        w = self.win
-        slots = w.slots_by_age()
-        if len(slots) <= self.cfg.max_frames:
-            return
-        n_drop = len(slots) - self.cfg.max_frames
-        # Never marginalize the two newest.
-        eligible = slots[:-2] if len(slots) > 2 else []
-        if not eligible:
-            return
-        t = np.asarray(w.frames.t_cw)
-        latest = newest_slot
-        scores = []
-        for s in eligible:
-            dists = [np.linalg.norm(t[s] - t[j]) for j in slots if j != s]
-            d_latest = np.linalg.norm(t[s] - t[latest])
-            score = -np.sqrt(d_latest) * sum(
-                1.0 / (1e-5 + d) for d in dists)
-            scores.append(score)
-        victims = [eligible[i] for i in np.argsort(scores)[:n_drop]]
-
-        host_np = np.asarray(w.points.host)
-        pmask_np = w.point_mask_np()
-        pair_np = np.array(w.pair_mask)
-        hosted = pmask_np & np.isin(host_np, victims)
-        # Marginalize hosted points that still constrain the window.
-        n_pairs = pair_np.sum(axis=0)
-        marg_pts = hosted & (n_pairs >= 1)
-        if marg_pts.any():
-            problem = ba.BAProblem(
-                frames=w.frames, points=w.points, calib=w.calib,
-                calib0=w.calib0, HM=w.HM, bM0=w.bM0,
-                prior_diag=w.prior_diag, pair_mask=w.pair_mask,
-            )
             HM_add, bM_add = ba.marginalization_update_jit(
-                problem, w.images, jnp.asarray(marg_pts))
+                problem, w.images, marg_pts)
             w.HM = w.HM + HM_add
             w.bM0 = w.bM0 + bM_add
-        w.drop_points(hosted)
-        # Drop remaining pairs targeting the victims, then Schur the frames.
-        pair_np = np.array(w.pair_mask)
+        # Drop hosted points and the victims' pair rows (device).
+        w.points, w.pair_mask = window_ops.drop_points_mask(
+            w.points, pair_rows_cleared, hosted)
+        if vio:
+            self._vio_marginalize_frames(victims)
+        else:
+            for s_ in victims:
+                w.frame_prior_into_HM(s_)
+                w.HM, w.bM0 = ba_solve.marginalize_frame_prior(
+                    w.HM, w.bM0, s_, F)
+                w.frames, w.pair_mask = window_ops.drop_frame_slot(
+                    w.frames, w.pair_mask, s_)
+                w.pyramids[s_] = None
+                w.slot_frame_id[s_] = None
+        if vio:
+            for s_ in victims:
+                w.pyramids[s_] = None
+                w.slot_frame_id[s_] = None
+        # Immatures hosted in dead frames die too; orphaned points follow.
+        is_victim = jnp.any(
+            self.imm.host[None, :] == vlist_j[:, None], axis=0)
+        self.imm = self.imm._replace(mask=self.imm.mask & ~is_victim)
+        w.points, w.pair_mask = window_ops.post_ba_update(
+            w.points, w.pair_mask, jnp.zeros_like(w.pair_mask))
+
+    def _vio_marginalize_frames(self, victims) -> None:
+        """Extended-state frame marginalization: fold the victims' IMU pair
+        factors and priors into the prior, then Schur out 8+9 coords per
+        victim (the graphs side of marginalizeBAFrame)."""
+        w = self.win
+        imu = self.imu
+        F = self.cfg.f_max
+        # 1) IMU pair factors touching victims -> prior (FEJ + r0).
+        touching = [q for q, (i, j, _) in enumerate(imu.pairs)
+                    if i in victims or j in victims]
+        if touching:
+            pairs_dev = imu.device_pairs()
+            sel = np.zeros(F - 1, bool)
+            for q in touching:
+                sel[q] = True
+            sel &= np.asarray(pairs_dev.valid)
+            HM_add, bM_add = vio_ba.fold_pairs_into_prior_jit(
+                w.frames, imu.states, pairs_dev, imu.R_cb, imu.t_cb,
+                w.calib, w.calib0, F, jnp.asarray(sel))
+            imu.HM = imu.HM + HM_add
+            imu.bM0 = imu.bM0 + bM_add
+            imu.drop_pairs_touching(list(victims))
+        # 2) Per-victim: diagonal priors into HM, Schur, free the slot.
+        Cv = ba_solve.cdim(F)
         for s in victims:
-            pair_np[s, :] = False
-        w.pair_mask = jnp.asarray(pair_np)
-        from dmvio_tpu.ops import ba_solve
-        for s in victims:
-            w.frame_prior_into_HM(s)
-            w.HM, w.bM0 = ba_solve.marginalize_frame_prior(
-                w.HM, w.bM0, s, self.cfg.f_max)
-            w.drop_frame(s)
-        # Immatures hosted in dead frames die too.
-        imm_dead = np.isin(np.asarray(self.imm.host), victims)
-        if imm_dead.any():
-            self.imm = self.imm._replace(
-                mask=self.imm.mask & ~jnp.asarray(imm_dead))
-        # Points with no pairs after the victim pair-drop die.
-        pairs_left = np.asarray(w.pair_mask).sum(axis=0)
-        dead = w.point_mask_np() & (pairs_left == 0)
-        w.drop_points(dead)
+            # Visual prior block (converted units) + IMU prior block.
+            pr_vis = np.array(w.prior_diag)
+            i0 = ba_solve.CPART + 8 * s
+            blk = pr_vis[i0:i0 + 8] * vio_ba.W_DSO
+            pr_imu = np.array(imu.prior_diag)
+            j0 = vio_ba.imu_offset(F, s)
+            idx = np.concatenate([np.arange(i0, i0 + 8),
+                                  np.arange(j0, j0 + 9)])
+            vals = np.concatenate([blk, pr_imu[j0:j0 + 9]])
+            imu.HM = imu.HM.at[jnp.asarray(idx), jnp.asarray(idx)].add(
+                jnp.asarray(vals, jnp.float32))
+            pr_vis[i0:i0 + 8] = 0.0
+            pr_imu[j0:j0 + 9] = 0.0
+            w.prior_diag = jnp.asarray(pr_vis)
+            imu.prior_diag = jnp.asarray(pr_imu)
+            imu.HM, imu.bM0 = ba_solve.schur_out(
+                imu.HM, imu.bM0, vio_ba.frame_marg_mask(s, F))
+            w.frames, w.pair_mask = window_ops.drop_frame_slot(
+                w.frames, w.pair_mask, s)
 
     # ------------------------------------------------------------------
-    def _set_tracker_ref(self, slot: int, fid: int):
+    def _set_tracker_ref(self, slot: int, fid: int,
+                         pose_pack: Optional[np.ndarray] = None):
         """Build the semi-dense tracking reference from the newest KF
-        (makeCoarseDepthL0, CoarseTracker.cpp:138)."""
+        (makeCoarseDepthL0, CoarseTracker.cpp:138). Host caches come from
+        the already-fetched pose pack (no extra sync)."""
         w = self.win
+        F = self.cfg.f_max
         u_p, v_p, d_p, valid = _project_into(
             w.frames, w.points.host, w.points.u, w.points.v,
             w.points.idepth, w.calib, slot)
@@ -475,9 +594,11 @@ class FullSystem:
         m_c = w.points.mask & (hosted_j | valid)
         self.tracker_ref = _make_ref_jit(
             w.pyramids[slot], w.calib, u_c, v_c, d_c, m_c)
-        # Refresh host caches of the reference pose/affine (one transfer).
-        R_new_ref, t_new_ref, aff_ref = jax.device_get(
-            (w.frames.R_cw[slot], w.frames.t_cw[slot], w.frames.aff[slot]))
+        if pose_pack is None:
+            pose_pack = np.asarray(window_ops.kf_pose_pack(w.frames))
+        R_new_ref = pose_pack[:9 * F].reshape(F, 3, 3)[slot]
+        t_new_ref = pose_pack[9 * F:12 * F].reshape(F, 3)[slot]
+        aff_ref = pose_pack[12 * F:14 * F].reshape(F, 2)[slot]
         # Re-express the velocity model relative to the new reference
         # (host-side numpy: tiny matrices).
         if self.ref_kf_slot >= 0 and self.ref_kf_id in self.kf_poses:
@@ -491,8 +612,8 @@ class FullSystem:
         else:
             self.T_last_ref = (np.eye(3, dtype=np.float32),
                                np.zeros(3, np.float32))
-        self.ref_pose_np = (np.asarray(R_new_ref), np.asarray(t_new_ref))
-        self.ref_aff_np = np.asarray(aff_ref)
+        self.ref_pose_np = (R_new_ref.copy(), t_new_ref.copy())
+        self.ref_aff_np = aff_ref.copy()
         self.ref_kf_slot = slot
         self.ref_kf_id = fid
         self.last_rho = 0.0
@@ -500,49 +621,34 @@ class FullSystem:
 
     def _spawn_immatures(self, slot: int, pyr):
         """Select new candidate points in the newest KF (makeNewTraces,
-        FullSystem.cpp:1640)."""
-        sel = select.select_points_jit(pyr[0], self.cfg.i_max, pot=4)
-        # Avoid areas already covered by active points in this KF.
-        w = self.win
-        au, av, _, avalid = _project_into(
-            w.frames, w.points.host, w.points.u, w.points.v,
-            w.points.idepth, w.calib, slot)
-        clear = select.occupancy_spacing(
-            au, av, w.points.mask & avalid, sel.u, sel.v,
-            self.h, self.w, radius=0, cell=4)
-        valid = np.asarray(sel.mask) & np.asarray(clear)
-        free = ~np.asarray(self.imm.mask)
-        # Under capacity pressure, evict stale OOB/OUTLIER slots (the
-        # reference deletes immatures on OOB / host departure).
-        if free.sum() < valid.sum():
-            st = np.asarray(self.imm.status)
-            evict = np.asarray(self.imm.mask) & np.isin(
-                st, (immature.IPS_OOB, immature.IPS_OUTLIER))
-            free |= evict
-            self.imm = self.imm._replace(
-                mask=self.imm.mask & ~jnp.asarray(evict))
-        n = min(int(valid.sum()), int(free.sum()))
-        if n == 0:
-            return
-        src = np.where(valid)[0][:n]
-        dst = np.where(free)[0][:n]
-        color, weight = _pattern_colors(pyr[0], sel.u, sel.v)
-        sj, dj = jnp.asarray(src), jnp.asarray(dst)
-        p = self.imm
-        self.imm = p._replace(
-            host=p.host.at[dj].set(slot),
-            u=p.u.at[dj].set(sel.u[sj]),
-            v=p.v.at[dj].set(sel.v[sj]),
-            idepth_min=p.idepth_min.at[dj].set(0.0),
-            idepth_max=p.idepth_max.at[dj].set(immature.IDEPTH_MAX_INIT),
-            color=p.color.at[dj].set(color[sj]),
-            weight=p.weight.at[dj].set(weight[sj]),
-            quality=p.quality.at[dj].set(1e4),
-            status=p.status.at[dj].set(immature.IPS_UNINITIALIZED),
-            mask=p.mask.at[dj].set(True),
-        )
+        FullSystem.cpp:1640) — one device dispatch, eviction included."""
+        self.imm = window_ops.respawn_immatures(
+            self.imm, self.win.frames, self.win.points, pyr[0],
+            self.win.calib, slot, h=self.h, w=self.w)
 
     # ------------------------------------------------------------------
+    def metric_trajectory(self):
+        """Body poses in the metric gravity-aligned world (the reference's
+        resultScaled.txt via TransformDSOToIMU::transformPose,
+        FullSystem.cpp:256-298). None until the IMU is initialized."""
+        if not self._vio_mode():
+            return None
+        st = jax.device_get(self.imu.states)
+        s_log = jnp.asarray(float(st.s_log))
+        g2 = jnp.asarray(np.asarray(st.g2))
+        dso = self.trajectory()
+        R_wc = jnp.asarray(np.stack([p[1] for p in dso]))
+        t_wc = jnp.asarray(np.stack([p[2] for p in dso]))
+        R_cw = jnp.swapaxes(R_wc, -1, -2)
+        t_cw = -jnp.einsum("nij,nj->ni", R_cw, t_wc)
+        Rb, pb = jax.vmap(
+            lambda R, t: vio_ba.dso_to_body(R, t, s_log, g2,
+                                            self.imu.R_cb, self.imu.t_cb)
+        )(R_cw, t_cw)
+        Rb = np.asarray(Rb)
+        pb = np.asarray(pb)
+        return [(dso[i][0], Rb[i], pb[i]) for i in range(len(dso))]
+
     def trajectory(self):
         """All frame poses as cam-to-world (R_wc, t_wc) with timestamps
         (printResult semantics, FullSystem.cpp:256-298)."""

@@ -70,12 +70,27 @@ class CoarseInitResult(NamedTuple):
     ok: jnp.ndarray
 
 
+# Visual pose-noise floor folded into the measurement covariance: the
+# tracked camera poses the init treats as fixed truth carry mm/mrad noise
+# that is many sigma under the raw IMU noise model. Without this the MAP
+# answer is to SHRINK the world (s -> large) so the noisy positions stop
+# mattering — with it, the true scale minimizes the energy (the reference
+# sidesteps the same issue by following its coarse init with PGBA, where
+# poses are free variables).
+SIG_VIS_ROT = 2e-3    # rad
+SIG_VIS_VEL = 0.02    # m/s
+SIG_VIS_POS = 0.005   # m
+
+
 def _residual_all(x, st: CoarseInitState, R_cb, t_cb, N: int):
     """All pair residuals stacked: x = [s_log, g2, bias, v...]."""
     s_log = x[0]
     g2 = x[1:3]
     bias = x[3:9]
     v = x[9:].reshape(N, 3)
+    infl = jnp.diag(jnp.concatenate([
+        jnp.full(3, SIG_VIS_ROT ** 2), jnp.full(3, SIG_VIS_VEL ** 2),
+        jnp.full(3, SIG_VIS_POS ** 2)]))
 
     def one(q):
         pre_q = jax.tree_util.tree_map(lambda a: a[q], st.pre)
@@ -85,7 +100,10 @@ def _residual_all(x, st: CoarseInitState, R_cb, t_cb, N: int):
                                  R_cb, t_cb)
         r9 = preint.imu_residual(pre_q, Rb_i, pb_i, v[q], Rb_j, pb_j,
                                  v[q + 1], bias)
-        W = preint.sqrt_information(pre_q)
+        cov = pre_q.cov + infl
+        L = jnp.linalg.cholesky(0.5 * (cov + cov.T)
+                                + 1e-12 * jnp.eye(9))
+        W = jnp.linalg.inv(L)
         ok = (st.valid[q] & st.valid[q + 1]).astype(r9.dtype)
         return (W @ r9) * ok
 
@@ -130,8 +148,12 @@ def optimize(st: CoarseInitState, R_cb, t_cb,
         b = J.T @ r + prior_diag * (s.x - x0)
         H = H * vmask[:, None] * vmask[None, :] + jnp.diag(1.0 - vmask)
         b = b * vmask
-        Hl = H + s.lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(dim)
-        dx = jnp.linalg.solve(Hl, -b)
+        Hl = H + s.lam * jnp.diag(jnp.diag(H))
+        # Jacobi equilibration: sqrt-info weights reach ~1e5, so H spans
+        # ~1e10 — raw f32 solves collapse (same medicine as ba_solve).
+        d = jnp.sqrt(jnp.maximum(jnp.diag(Hl), 1e-12))
+        Hp = Hl / (d[:, None] * d[None, :]) + 1e-7 * jnp.eye(dim)
+        dx = jnp.linalg.solve(Hp, -(b / d)) / d
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0) * vmask
         xn = s.x + dx
         en = energy(xn)
@@ -147,13 +169,14 @@ def optimize(st: CoarseInitState, R_cb, t_cb,
               it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False))
     out = jax.lax.while_loop(lambda s: (s.it < iters) & ~s.done, body, init)
 
-    # Scale marginal variance from the final Hessian.
+    # Scale marginal variance from the final (equilibrated) Hessian.
     J = jax.jacfwd(lambda x: _residual_all(x, st, R_cb, t_cb, N))(out.x)
     H = J.T @ J + jnp.diag(prior_diag)
     H = H * vmask[:, None] * vmask[None, :] + jnp.diag(1.0 - vmask)
-    Hinv_col = jnp.linalg.solve(H + 1e-8 * jnp.eye(dim),
-                                jnp.eye(dim, 1)[:, 0])
-    s_var = Hinv_col[0]
+    d = jnp.sqrt(jnp.maximum(jnp.diag(H), 1e-12))
+    Hp = H / (d[:, None] * d[None, :]) + 1e-7 * jnp.eye(dim)
+    e0 = jnp.zeros(dim).at[0].set(1.0)
+    s_var = (jnp.linalg.solve(Hp, e0 / d) / d)[0]
 
     n_valid = jnp.sum(st.valid.astype(jnp.float32))
     ok = jnp.isfinite(out.e) & (n_valid >= 3)

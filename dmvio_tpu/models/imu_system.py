@@ -1,0 +1,396 @@
+"""IMU side-state of the full system: buffers, init machine, VIO window.
+
+TPU-native re-design of the IMUIntegration facade + IMUInitializer state
+machine (src/IMU/IMUIntegration.{hpp,cpp}, src/IMUInitialization/
+IMUInitializer*.{h,cpp}): owns the per-frame/per-keyframe measurement
+buffers, the gravity bootstrap, the coarse IMU init window, the extended
+VIO prior (HM over C_ext), the per-slot velocity/bias states and the
+KF-to-KF preintegration pairs. FullSystem calls into this at the same seams
+the reference uses (addIMUData / addIMUDataToBA / postOptimization /
+finishKeyframeOperations).
+
+Init phases (simplified transition model; the reference's default
+"CombinedWithMarginalizationReplacement" adds re-init + marg replacement,
+IMUInitializerTransitions.h:62-163 — those arrive with the delayed-
+marginalization layer):
+    INACTIVE -> COARSE_INIT (visual ready, collecting poses)
+             -> ACTIVE      (scale variance below threshold; VIO BA on)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmvio_tpu.models import imu_init, vio_ba, vio_coarse
+from dmvio_tpu.ops import ba_solve, preint
+from dmvio_tpu.utils.timing import TimeMeasurement
+
+FRAME_IMU_CAP = 64     # max samples between consecutive frames
+KF_IMU_CAP = 1024      # max samples between consecutive keyframes
+
+INACTIVE, COARSE_INIT, ACTIVE = 0, 1, 2
+
+
+@dataclasses.dataclass
+class IMUCalib:
+    """Camera-IMU calibration (reference IMUCalibration, IMUSettings.h:126)."""
+
+    R_cb: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.eye(3, dtype=np.float32))
+    t_cb: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3, dtype=np.float32))
+    sigma_gyro: float = 1.6968e-4
+    sigma_acc: float = 2.0e-3
+    sigma_gyro_walk: float = 8.0e-5
+    sigma_acc_walk: float = 3.0e-3
+
+
+def _pad_chunk(acc, gyr, dts, cap):
+    n = min(len(dts), cap)
+    a = np.zeros((cap, 3), np.float32)
+    g = np.zeros((cap, 3), np.float32)
+    d = np.zeros((cap,), np.float32)
+    a[:n] = acc[:n]
+    g[:n] = gyr[:n]
+    d[:n] = dts[:n]
+    return jnp.asarray(a), jnp.asarray(g), jnp.asarray(d)
+
+
+class IMUSystem:
+    """All inertial state surrounding the visual window."""
+
+    def __init__(self, calib: IMUCalib, f_max: int):
+        self.calib = calib
+        self.f_max = f_max
+        self.R_cb = jnp.asarray(calib.R_cb)
+        self.t_cb = jnp.asarray(calib.t_cb)
+        self.phase = INACTIVE
+        # Gravity bootstrap accumulator (GravityInitializer.cpp:29-85).
+        self._acc_sum = np.zeros(3)
+        self._acc_n = 0
+        # KF-chunk raw buffer (samples since the last keyframe).
+        self._kf_acc: List[np.ndarray] = []
+        self._kf_gyr: List[np.ndarray] = []
+        self._kf_dts: List[np.ndarray] = []
+        # Coarse-init rolling window: dso poses + frame-to-frame preints.
+        self._init_poses: List[Tuple[np.ndarray, np.ndarray]] = []
+        self._init_pres: List[preint.PreintState] = []
+        self._init_fids: List[int] = []
+        self._init_dts: List[float] = []
+        self.init_result: Optional[imu_init.CoarseInitResult] = None
+        # VIO window state (valid in ACTIVE phase).
+        self.states: Optional[vio_ba.VIOStates] = None
+        self.pairs: List[Tuple[int, int, preint.PreintState]] = []
+        self.HM = None
+        self.bM0 = None
+        self.prior_diag = None
+        self.coarse: Optional[vio_coarse.CoarseIMUState] = None
+        self.last_frame_pre: Optional[preint.PreintState] = None
+        self.last_frame_pre_np: Optional[dict] = None
+        self.s_log = 0.0
+        self.g2 = np.zeros(2)
+
+    # -- per-frame ingestion ------------------------------------------------
+    def add_frame_imu(self, acc, gyr, dts) -> None:
+        """Buffer one frame's measurements; preintegrate the frame chunk.
+
+        The frame chunk is preintegrated TWICE: on device (f32, feeds the
+        init-window optimizer) and on host in float64 (feeds the coarse
+        filter, whose information Schur cannot survive f32)."""
+        if len(dts) == 0:
+            self.last_frame_pre = None
+            self.last_frame_pre_np = None
+            return
+        self._last_chunk_acc_mean = np.asarray(acc).mean(axis=0)
+        self._kf_acc.append(np.asarray(acc, np.float32))
+        self._kf_gyr.append(np.asarray(gyr, np.float32))
+        self._kf_dts.append(np.asarray(dts, np.float32))
+        a, g, d = _pad_chunk(acc, gyr, dts, FRAME_IMU_CAP)
+        self.last_frame_pre = preint.preintegrate_jit(a, g, d, jnp.zeros(6))
+        bias_np = (self.coarse.bias if self.coarse is not None
+                   else np.zeros(6))
+        self.last_frame_pre_np = preint.preintegrate_np(acc, gyr, dts,
+                                                        bias_np)
+
+    def gravity_guess(self) -> np.ndarray:
+        if self._acc_n == 0:
+            return np.zeros(2)
+        return np.asarray(imu_init.gravity_from_accel(
+            jnp.asarray(self._acc_sum / self._acc_n, jnp.float32)))
+
+    # -- tracking-side (coarse, host float64) ------------------------------
+    def predict_coarse(self):
+        """Propagate the coarse belief through the last frame chunk."""
+        if self.phase != ACTIVE or self.coarse is None \
+                or getattr(self, "last_frame_pre_np", None) is None:
+            return None
+        with TimeMeasurement("imu_predict"):
+            self.coarse = vio_coarse.predict(
+                self.coarse, self.last_frame_pre_np,
+                np.asarray(self.calib.R_cb, np.float64),
+                np.asarray(self.calib.t_cb, np.float64))
+        return self.coarse
+
+    def coarse_prior(self, R_ref_np, t_ref_np, rho0, b0):
+        if self.phase != ACTIVE or self.coarse is None:
+            return None
+        return vio_coarse.make_tracker_prior(
+            self.coarse, np.asarray(R_ref_np, np.float64),
+            np.asarray(t_ref_np, np.float64), float(rho0), float(b0))
+
+    def fuse_tracked(self, H_vis8_np, R_cw_np, t_cw_np, v_np, bias_np):
+        if self.phase != ACTIVE or self.coarse is None:
+            return
+        self.coarse = vio_coarse.fuse_visual(
+            self.coarse, H_vis8_np, R_cw_np, t_cw_np, v_np, bias_np)
+
+    # -- init machine -------------------------------------------------------
+    def record_init_pose(self, fid: int, ref_fid: int,
+                         R_rel, t_rel, R_cw_approx) -> None:
+        """Feed a tracked-frame pose + its chunk into the init window
+        (IMUInitializer::addPose path).
+
+        Poses are stored RELATIVE to their tracking-reference keyframe and
+        resolved against the LATEST optimized KF poses at init time —
+        absolute poses recorded at tracking time jump by the BA correction
+        at every keyframe (1-2 deg), which poisons the gyro consistency of
+        the init window."""
+        if self.phase == ACTIVE or self.last_frame_pre is None:
+            return
+        # Gravity bootstrap: rotate the chunk's mean specific force into the
+        # DSO WORLD with the (approximate) tracked attitude before
+        # averaging — raw body-frame averaging is meaningless once the
+        # camera rotates (GravityInitializer.cpp:29-85 averages in a fixed
+        # frame too).
+        if getattr(self, "_last_chunk_acc_mean", None) is not None:
+            self._acc_sum += np.asarray(R_cw_approx).T @ \
+                self._last_chunk_acc_mean
+            self._acc_n += 1
+        self._init_poses.append((np.asarray(R_rel), np.asarray(t_rel),
+                                 ref_fid))
+        self._init_pres.append(self.last_frame_pre)
+        self._init_fids.append(fid)
+        self._init_dts.append(float(self.last_frame_pre_np["dt"]))
+        if len(self._init_poses) > imu_init.N_MAX:
+            self._init_poses.pop(0)
+            self._init_pres.pop(0)
+            self._init_fids.pop(0)
+            self._init_dts.pop(0)
+
+    def _resolve_init_poses(self, kf_poses: dict):
+        """Absolute DSO poses of the init window against the latest
+        optimized keyframe poses (consistent chain)."""
+        out = []
+        for k, (R_rel, t_rel, ref_fid) in enumerate(self._init_poses):
+            fid = self._init_fids[k]
+            if fid in kf_poses:
+                out.append((kf_poses[fid][0], kf_poses[fid][1]))
+            elif ref_fid in kf_poses:
+                R_ref, t_ref = kf_poses[ref_fid]
+                out.append((R_rel @ R_ref, R_rel @ t_ref + t_rel))
+            else:
+                out.append(None)
+        return out
+
+    def init_velocity_of(self, fid: int) -> Optional[np.ndarray]:
+        if self.init_result is None or fid not in self._init_fids:
+            return None
+        k = self._init_fids.index(fid)
+        return np.asarray(self.init_result.v[k])
+
+    def try_initialize(self, kf_poses: dict,
+                       scale_var_th: float = 1.0) -> bool:
+        """Run the coarse IMU init over the pose window; returns True when
+        the scale estimate is trustworthy (threshold on the scale marginal,
+        IMUInitSettings.h:64) AND the optimizer actually converged (the
+        variance alone is blind to a diverged solution sitting in a steep
+        spot)."""
+        n = len(self._init_poses)
+        if n < 20:
+            return False
+        with TimeMeasurement("imu_coarse_init"):
+            N = imu_init.N_MAX
+            resolved = self._resolve_init_poses(kf_poses)
+            if any(p is None for p in resolved):
+                return False
+            Rs = np.tile(np.eye(3, dtype=np.float32), (N, 1, 1))
+            ts = np.zeros((N, 3), np.float32)
+            for k, (R, t) in enumerate(resolved):
+                Rs[k] = R
+                ts[k] = t
+            pres = list(self._init_pres[1:n])
+            pres += [preint.identity_preint(jnp.zeros(6))] * (N - 1 - len(pres))
+            pre_b = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pres)
+            st = imu_init.CoarseInitState(
+                R_cw=jnp.asarray(Rs), t_cw=jnp.asarray(ts), pre=pre_b,
+                valid=jnp.arange(N) < n)
+            warm = (self.init_result is not None
+                    and getattr(self, "_last_init_decent", False))
+            g20 = np.asarray(self.init_result.g2) if warm \
+                else self.gravity_guess()
+            s0 = float(self.init_result.s_log) if warm else 0.0
+            b0 = jnp.asarray(self.init_result.bias) if warm else jnp.zeros(6)
+            # Velocity initialization from pose finite differences in the
+            # (guessed) metric frame — LM from zero velocities regularly
+            # stalls far from the basin.
+            v0_np = np.zeros((N, 3), np.float32)
+            R_g = np.asarray(imu_init.lie.so3_exp(
+                jnp.asarray([g20[0], g20[1], 0.0])))
+            s_guess = np.exp(s0)
+            p_m = []
+            for (R, t) in resolved:
+                t_wc = -R.T @ t
+                p_m.append((R_g.T @ t_wc) / s_guess)
+            for k in range(n - 1):
+                dtk = max(self._init_dts[k + 1]
+                          if k + 1 < len(self._init_dts) else 0.05, 1e-3)
+                v0_np[k] = (p_m[k + 1] - p_m[k]) / dtk
+            if n >= 2:
+                v0_np[n - 1] = v0_np[n - 2]
+            v0 = self.init_result.v if warm else jnp.asarray(v0_np)
+            res = imu_init.optimize_jit(
+                st, self.R_cb, self.t_cb,
+                s_log0=jnp.asarray(s0, jnp.float32),
+                g20=jnp.asarray(g20, jnp.float32), bias0=b0, v0=v0,
+                iters=25)
+            res = jax.device_get(res)
+        self.init_result = res
+        n_res = 9.0 * max(n - 1, 1)
+        mean_e = float(res.energy) / n_res
+        self._last_init_decent = np.isfinite(mean_e) and mean_e < 5000.0
+        ok = bool(res.ok) and float(res.s_var) < scale_var_th \
+            and np.isfinite(float(res.s_log)) and mean_e < 400.0
+        return ok
+
+    def activate(self, window_frames, slot_frame_ids, frame_vel_lookup):
+        """Switch to ACTIVE: build VIO states/prior around the visual window.
+
+        frame_vel_lookup: callable frame_id -> (v [3] or None). Velocities
+        for current window KFs come from the init window when available.
+        """
+        F = self.f_max
+        res = self.init_result
+        self.s_log = float(res.s_log)
+        self.g2 = np.asarray(res.g2)
+        C = vio_ba.cdim_ext(F)
+        self.HM = jnp.zeros((C, C), jnp.float32)
+        self.bM0 = jnp.zeros((C,), jnp.float32)
+
+        v = np.zeros((F, 3), np.float32)
+        bg = np.tile(np.asarray(res.bias[:3], np.float32), (F, 1))
+        ba_ = np.tile(np.asarray(res.bias[3:6], np.float32), (F, 1))
+        for s in range(F):
+            fid = slot_frame_ids[s]
+            if fid is not None:
+                vv = frame_vel_lookup(fid)
+                if vv is not None:
+                    v[s] = vv
+        st = vio_ba.empty_vio_states(F)._replace(
+            v=jnp.asarray(v), v0=jnp.asarray(v),
+            bg=jnp.asarray(bg), bg0=jnp.asarray(bg),
+            ba=jnp.asarray(ba_), ba0=jnp.asarray(ba_),
+            s_log=jnp.asarray(self.s_log, jnp.float32),
+            s_log0=jnp.asarray(self.s_log, jnp.float32),
+            g2=jnp.asarray(self.g2, jnp.float32),
+            g20=jnp.asarray(self.g2, jnp.float32))
+        self.states = st
+
+        # Extended priors (reference addFirstBAFrame + initFromIMUInit:
+        # priors on biases/velocities/gravity; scale free).
+        prior = np.zeros(C, np.float32)
+        for f in range(F):
+            off = vio_ba.imu_offset(F, f)
+            prior[off:off + 3] = 1.0 / (0.5 ** 2)        # velocity
+            prior[off + 3:off + 6] = 1.0 / (0.01 ** 2)   # gyro bias
+            prior[off + 6:off + 9] = 1.0 / (0.1 ** 2)    # accel bias
+        Cg = ba_solve.cdim(F) + 9 * F
+        prior[Cg + 1:Cg + 3] = 1.0 / (0.05 ** 2)         # gravity tangent
+        self.prior_diag = jnp.asarray(prior)
+        self.phase = ACTIVE
+
+    # -- keyframe-side ------------------------------------------------------
+    def kf_chunk_preint(self):
+        """Preintegrate everything since the last keyframe."""
+        if not self._kf_dts:
+            return None
+        acc = np.concatenate(self._kf_acc)
+        gyr = np.concatenate(self._kf_gyr)
+        dts = np.concatenate(self._kf_dts)
+        a, g, d = _pad_chunk(acc, gyr, dts, KF_IMU_CAP)
+        blin = jnp.zeros(6) if self.init_result is None else \
+            jnp.asarray(self.init_result.bias)
+        pre = preint.preintegrate_jit(a, g, d, blin)
+        self._kf_acc.clear()
+        self._kf_gyr.clear()
+        self._kf_dts.clear()
+        return pre
+
+    def on_new_keyframe(self, prev_slot: int, new_slot: int,
+                        pred_v: Optional[np.ndarray]) -> None:
+        """Register the KF-to-KF pair and seed the new slot's states."""
+        pre = self.kf_chunk_preint()
+        if self.phase != ACTIVE or self.states is None:
+            return
+        if pre is not None and prev_slot is not None and prev_slot >= 0:
+            self.pairs.append((prev_slot, new_slot, pre))
+        st = self.states
+        v_new = jnp.asarray(pred_v, jnp.float32) if pred_v is not None \
+            else st.v[prev_slot]
+        self.states = st._replace(
+            v=st.v.at[new_slot].set(v_new),
+            v0=st.v0.at[new_slot].set(v_new),
+            bg=st.bg.at[new_slot].set(st.bg[prev_slot]),
+            bg0=st.bg0.at[new_slot].set(st.bg[prev_slot]),
+            ba=st.ba.at[new_slot].set(st.ba[prev_slot]),
+            ba0=st.ba0.at[new_slot].set(st.ba[prev_slot]),
+        )
+
+    def device_pairs(self) -> vio_ba.IMUPairs:
+        Q = self.f_max - 1
+        pres = []
+        iis = np.zeros(Q, np.int32)
+        jjs = np.zeros(Q, np.int32)
+        val = np.zeros(Q, bool)
+        for q in range(Q):
+            if q < len(self.pairs):
+                i, j, pre = self.pairs[q]
+                iis[q] = i
+                jjs[q] = j
+                val[q] = True
+                pres.append(pre)
+            else:
+                pres.append(preint.identity_preint(jnp.zeros(6)))
+        pre_b = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pres)
+        return vio_ba.IMUPairs(pre=pre_b, i=jnp.asarray(iis),
+                               j=jnp.asarray(jjs), valid=jnp.asarray(val))
+
+    def drop_pairs_touching(self, slots: List[int]) -> List[int]:
+        """Remove pairs that reference marginalized slots; returns the pair
+        indices removed (the caller folds them into the prior FIRST)."""
+        keep = []
+        removed = []
+        for idx, (i, j, pre) in enumerate(self.pairs):
+            if i in slots or j in slots:
+                removed.append(idx)
+            else:
+                keep.append((i, j, pre))
+        self.pairs = keep
+        return removed
+
+    def reinit_coarse_from_ba(self, R_cw, t_cw, slot: int) -> None:
+        """BA -> coarse handoff after each keyframe optimization
+        (finishKeyframeOptimization, BAIMULogic.cpp:641)."""
+        if self.phase != ACTIVE or self.states is None:
+            return
+        st = jax.device_get(self.states)
+        bias = np.concatenate([st.bg[slot], st.ba[slot]])
+        self.coarse = vio_coarse.init_from_ba(
+            np.asarray(R_cw), np.asarray(t_cw), st.v[slot], bias,
+            float(st.s_log), np.asarray(st.g2))
+        self.s_log = float(st.s_log)
+        self.g2 = np.asarray(st.g2)

@@ -430,6 +430,29 @@ marginalize_points_ext_jit = jax.jit(
     marginalize_points_ext, static_argnames="F")
 
 
+def fold_pairs_into_prior(frames: BAFrames, states: VIOStates,
+                          pairs: IMUPairs, R_cb, t_cb,
+                          calib: Calib, calib0, F: int,
+                          pair_sel: jnp.ndarray):
+    """Fold selected IMU pair factors into (HM, bM0) before their frames
+    are marginalized (the graph-side of marginalizeBAFrame,
+    BAGTSAMIntegration.cpp:370-396): FEJ Jacobians, residual transported to
+    the linearization point (r0 = r - J delta)."""
+    C = cdim_ext(F)
+    rows, r, _ = imu_factor_system(frames, states, pairs, R_cb, t_cb, F)
+    sel = pair_sel.astype(rows.dtype)
+    rows = rows * sel[:, None, None]
+    r = r * sel[:, None]
+    delta = vio_delta(frames, calib, calib0, states, F)
+    Jf = rows.reshape(-1, C)
+    r0 = r.reshape(-1) - Jf @ delta
+    return Jf.T @ Jf, Jf.T @ r0
+
+
+fold_pairs_into_prior_jit = jax.jit(fold_pairs_into_prior,
+                                    static_argnames="F")
+
+
 def frame_marg_mask(slot: int, F: int) -> jnp.ndarray:
     """Extended-coordinate mask of one frame (8 visual + 9 IMU coords)."""
     C = cdim_ext(F)

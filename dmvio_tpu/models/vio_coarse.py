@@ -1,4 +1,4 @@
-"""Coarse-tracking IMU logic: predict, fuse, propagate.
+"""Coarse-tracking IMU logic: predict, fuse, propagate (host float64).
 
 TPU-native re-design of CoarseIMULogic (src/IMU/CoarseIMULogic.{h,cpp}):
 instead of a rolling GTSAM factor graph that is marginalized down every
@@ -6,163 +6,239 @@ frame (CoarseIMULogic.cpp:66-96), we carry an explicit 15-dof Gaussian
 [pose(6), v(3), bias(6)] on the CURRENT frame and propagate it through each
 IMU preintegration chunk with one dense Schur step (predict), then hand it
 to the tracker as a 17-dof prior (models/coarse_tracker.CoarsePrior) for
-the per-iteration joint solve. After tracking, the visual Hessian is folded
-in (addVisualToCoarseGraph, CoarseTracker.cpp:766) before the next predict.
+the per-iteration joint solve.
 
-Poses are DSO-world worldToCam like everything else; scale/gravity are
-FIXED here (they come from the VIO BA / IMU initializer — the reference's
-coarse graph also holds them fixed between keyframes).
+Why HOST, why float64: this state is 15-dimensional — microseconds of
+NumPy — while the information propagation Schur cancels terms of order
+(chunk sqrt-info)^2 ~ 1e9, which float32 on device turns into an indefinite
+mess. Keeping the filter on the host also removes a per-frame device round
+trip (the tunnel dominates frame latency). Only the final prior ships to
+the device. The reference runs this math in double on the CPU too.
+
+Poses are DSO-world worldToCam; scale/gravity are FIXED here (they come
+from the VIO BA / IMU initializer, as in the reference's coarse graph).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
-import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dmvio_tpu.models.coarse_tracker import CoarsePrior
-from dmvio_tpu.models.vio_ba import _pair_residual, dso_to_body
-from dmvio_tpu.ops import preint
-from dmvio_tpu.utils import lie
 
-# BA -> coarse handoff variances (reference IMUSettings.h:95-99: fixed
-# variances for the prior placed on the coarse graph after each KF).
+GRAVITY = 9.8082
+
+# BA -> coarse handoff variances (reference IMUSettings.h:95-99).
 SIG_POSE_ROT = 0.005
 SIG_POSE_TRANS = 0.01
 SIG_VEL = 0.05
 SIG_BG = 0.005
 SIG_BA = 0.05
 
-
-class CoarseIMUState(NamedTuple):
-    """Gaussian belief about the current frame's [pose, v, bias]."""
-
-    R_cw: jnp.ndarray    # [3,3] DSO worldToCam (center of the belief)
-    t_cw: jnp.ndarray
-    v: jnp.ndarray       # [3] metric velocity
-    bias: jnp.ndarray    # [6] [bg, ba]
-    H: jnp.ndarray       # [15,15] information on [xi, v, bias] at center
-    s_log: jnp.ndarray   # fixed scale (from BA)
-    g2: jnp.ndarray      # fixed gravity tangent
+# Down-weight of the folded per-frame visual Hessian: folding the full
+# photometric information every frame double-counts (the same map
+# constrains every subsequent frame), making the propagated prior so
+# confident the tracker cannot correct prediction errors. The reference
+# down-weights its coarse visual factor similarly (IMUSettings.h:57).
+VISUAL_FOLD_WEIGHT = 0.02
 
 
-def body_to_dso(R_wb, p_wb, s_log, g2, R_cb, t_cb):
-    """Inverse of vio_ba.dso_to_body."""
-    s = jnp.exp(s_log)
-    R_g = lie.so3_exp(jnp.concatenate([g2, jnp.zeros(1)]))
-    # T_wc_m = T_wb o T_bc
-    R_bc, t_bc = lie.se3_inv(R_cb, t_cb)
+def _hat(w):
+    return np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+
+
+def _exp_so3(w):
+    t = np.linalg.norm(w)
+    W = _hat(w)
+    if t < 1e-8:
+        return np.eye(3) + W + 0.5 * W @ W
+    return (np.eye(3) + np.sin(t) / t * W
+            + (1 - np.cos(t)) / (t * t) * W @ W)
+
+
+def _log_so3(R):
+    cos_t = np.clip((np.trace(R) - 1) / 2, -1, 1)
+    anti = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    sin_t = 0.5 * np.linalg.norm(anti)
+    t = np.arctan2(sin_t, cos_t)
+    if sin_t < 1e-8:
+        return 0.5 * anti
+    return anti * (0.5 * t / sin_t)
+
+
+def dso_to_body_np(R_cw, t_cw, s, R_g, R_cb, t_cb):
+    R_wc = R_cw.T
+    t_wc = -R_wc @ t_cw
+    R_wc_m = R_g.T @ R_wc
+    t_wc_m = (R_g.T @ t_wc) / s
+    R_wb = R_wc_m @ R_cb
+    p_wb = R_wc_m @ t_cb + t_wc_m
+    return R_wb, p_wb
+
+
+def body_to_dso_np(R_wb, p_wb, s, R_g, R_cb, t_cb):
+    R_bc = R_cb.T
+    t_bc = -R_bc @ t_cb
     R_wc_m = R_wb @ R_bc
     t_wc_m = R_wb @ t_bc + p_wb
     R_wc_d = R_g @ R_wc_m
     t_wc_d = s * (R_g @ t_wc_m)
-    return lie.se3_inv(R_wc_d, t_wc_d)
+    return R_wc_d.T, -R_wc_d.T @ t_wc_d
+
+
+@dataclasses.dataclass
+class CoarseIMUState:
+    """Gaussian belief about the current frame's [pose, v, bias] (host)."""
+
+    R_cw: np.ndarray     # [3,3] DSO worldToCam (belief center)
+    t_cw: np.ndarray
+    v: np.ndarray        # [3] metric velocity
+    bias: np.ndarray     # [6] [bg, ba]
+    H: np.ndarray        # [15,15] float64 information on [xi, v, bias]
+    s_log: float
+    g2: np.ndarray       # [2]
 
 
 def init_from_ba(R_cw, t_cw, v, bias, s_log, g2) -> CoarseIMUState:
     """Fresh belief after a keyframe's BA (finishKeyframeOptimization /
-    initCoarseGraph handoff, BAIMULogic.cpp:641 / CoarseIMULogic.cpp:212):
-    fixed-variance prior around the BA estimates."""
-    sig = jnp.concatenate([
-        jnp.full(3, SIG_POSE_TRANS), jnp.full(3, SIG_POSE_ROT),
-        jnp.full(3, SIG_VEL), jnp.full(3, SIG_BG), jnp.full(3, SIG_BA),
-    ])
-    H = jnp.diag(1.0 / sig ** 2)
-    return CoarseIMUState(R_cw=R_cw, t_cw=t_cw, v=v, bias=bias, H=H,
-                          s_log=s_log, g2=g2)
+    initCoarseGraph handoff): fixed-variance prior around BA estimates."""
+    sig = np.concatenate([
+        np.full(3, SIG_POSE_TRANS), np.full(3, SIG_POSE_ROT),
+        np.full(3, SIG_VEL), np.full(3, SIG_BG), np.full(3, SIG_BA)])
+    return CoarseIMUState(
+        R_cw=np.asarray(R_cw, np.float64), t_cw=np.asarray(t_cw, np.float64),
+        v=np.asarray(v, np.float64), bias=np.asarray(bias, np.float64),
+        H=np.diag(1.0 / sig ** 2), s_log=float(s_log),
+        g2=np.asarray(g2, np.float64))
 
 
-@jax.jit
-def predict(state: CoarseIMUState, pre: preint.PreintState,
-            R_cb: jnp.ndarray, t_cb: jnp.ndarray) -> CoarseIMUState:
+def predict(state: CoarseIMUState, pre: dict,
+            R_cb: np.ndarray, t_cb: np.ndarray) -> CoarseIMUState:
     """Propagate the belief through one IMU chunk (prev -> new frame).
 
-    Equivalent of addIMUData's preintegrate + marginalize-old-frames +
-    LM-predict (CoarseIMULogic.cpp:55-209): the predicted mean integrates
-    the preintegrated measurement; the information is pushed through the
-    IMU factor and the previous frame is Schur-eliminated.
+    `pre` is a host preintegration dict (preint.preintegrate_np).
+    Equivalent of addIMUData's preintegrate + marginalize + predict
+    (CoarseIMULogic.cpp:55-209), as one dense float64 Schur step.
     """
-    # --- mean prediction: integrate in the metric body frame.
-    Rb, pb = dso_to_body(state.R_cw, state.t_cw, state.s_log, state.g2,
-                         R_cb, t_cb)
-    g = jnp.array([0.0, 0.0, -preint.GRAVITY])
-    dt = pre.dt
-    dbg = state.bias[:3] - pre.bias_lin[:3]
-    dba = state.bias[3:6] - pre.bias_lin[3:6]
-    dR = pre.dR @ lie.so3_exp(pre.dR_dbg @ dbg)
-    dv = pre.dv + pre.dv_dbg @ dbg + pre.dv_dba @ dba
-    dp = pre.dp + pre.dp_dbg @ dbg + pre.dp_dba @ dba
+    s = np.exp(state.s_log)
+    R_g = _exp_so3(np.array([state.g2[0], state.g2[1], 0.0]))
+    g = np.array([0.0, 0.0, -GRAVITY])
+    dt = pre["dt"]
+
+    dbg = state.bias[:3] - pre["bias_lin"][:3]
+    dba = state.bias[3:6] - pre["bias_lin"][3:6]
+    dR = pre["dR"] @ _exp_so3(pre["dR_dbg"] @ dbg)
+    dv = pre["dv"] + pre["dv_dbg"] @ dbg + pre["dv_dba"] @ dba
+    dp = pre["dp"] + pre["dp_dbg"] @ dbg + pre["dp_dba"] @ dba
+
+    Rb, pb = dso_to_body_np(state.R_cw, state.t_cw, s, R_g, R_cb, t_cb)
     Rb_new = Rb @ dR
     pb_new = pb + state.v * dt + 0.5 * g * dt ** 2 + Rb @ dp
     v_new = state.v + g * dt + Rb @ dv
-    R_cw_new, t_cw_new = body_to_dso(Rb_new, pb_new, state.s_log, state.g2,
-                                     R_cb, t_cb)
+    R_cw_new, t_cw_new = body_to_dso_np(Rb_new, pb_new, s, R_g, R_cb, t_cb)
 
-    # --- information propagation: joint [prev(15) | new(15)], Schur prev.
-    def fac(z):
-        z36 = jnp.concatenate([
-            z[0:6], z[15:21],        # xi_prev, xi_new
-            z[6:9], z[21:24],        # v_prev, v_new
-            z[9:15], z[24:30],       # b_prev, b_new
-            jnp.zeros(3),            # ds, dg2 fixed here
-        ])
-        return _pair_residual(pre, state.R_cw, state.t_cw,
-                              R_cw_new, t_cw_new, z36, R_cb, t_cb,
-                              preint.GRAVITY)
+    # Information propagation via the residual Jacobian over
+    # [prev(15) | new(15)], numeric differentiation in float64 (the state
+    # is tiny; exactness > elegance here).
+    W9 = np.linalg.inv(np.linalg.cholesky(
+        pre["cov"] + 1e-14 * np.eye(9)))
+    Wb = np.diag(np.concatenate([
+        np.full(3, 1.0 / (8.0e-5 * np.sqrt(max(dt, 1e-6)))),
+        np.full(3, 1.0 / (3.0e-3 * np.sqrt(max(dt, 1e-6)))),
+    ]))
 
-    z0 = jnp.concatenate([
-        jnp.zeros(6), state.v, state.bias,
-        jnp.zeros(6), v_new, state.bias,
-    ])
-    J = jax.jacfwd(fac)(z0)          # [15, 30]
+    def residual(z):
+        # z = [xi_prev(6), v_prev, b_prev | xi_new(6), v_new, b_new]
+        def apply(R0, t0, xi):
+            dRl = _exp_so3(xi[3:6])
+            # left-multiplicative se3 retraction (match utils/lie)
+            V = _left_jac(xi[3:6])
+            dtl = V @ xi[0:3]
+            return dRl @ R0, dRl @ t0 + dtl
+
+        R_i, t_i = apply(state.R_cw, state.t_cw, z[0:6])
+        R_j, t_j = apply(R_cw_new, t_cw_new, z[15:21])
+        v_i = state.v + z[6:9]
+        v_j = v_new + z[21:24]
+        b_i = state.bias + z[9:15]
+        b_j = state.bias + z[24:30]
+        Rbi, pbi = dso_to_body_np(R_i, t_i, s, R_g, R_cb, t_cb)
+        Rbj, pbj = dso_to_body_np(R_j, t_j, s, R_g, R_cb, t_cb)
+        dbgz = b_i[:3] - pre["bias_lin"][:3]
+        dbaz = b_i[3:6] - pre["bias_lin"][3:6]
+        dRz = pre["dR"] @ _exp_so3(pre["dR_dbg"] @ dbgz)
+        dvz = pre["dv"] + pre["dv_dbg"] @ dbgz + pre["dv_dba"] @ dbaz
+        dpz = pre["dp"] + pre["dp_dbg"] @ dbgz + pre["dp_dba"] @ dbaz
+        r_R = _log_so3(dRz.T @ Rbi.T @ Rbj)
+        r_v = Rbi.T @ (v_j - v_i - g * dt) - dvz
+        r_p = Rbi.T @ (pbj - pbi - v_i * dt - 0.5 * g * dt ** 2) - dpz
+        r9 = W9 @ np.concatenate([r_R, r_v, r_p])
+        rb = Wb @ (b_j - b_i)
+        return np.concatenate([r9, rb])
+
+    eps = 1e-6
+    J = np.zeros((15, 30))
+    r0 = residual(np.zeros(30))
+    for k in range(30):
+        z = np.zeros(30)
+        z[k] = eps
+        J[:, k] = (residual(z) - r0) / eps
+
     H_joint = J.T @ J
-    H_joint = H_joint.at[:15, :15].add(state.H)
-    # Account for the residual at the prediction (nonzero only through
-    # bias-correction rounding): gradient term folded into the new prior's
-    # center via one Newton step is skipped — the predict mean already
-    # satisfies the factor to first order.
+    H_joint[:15, :15] += state.H
     A = H_joint[:15, :15]
     Bm = H_joint[:15, 15:]
     D = H_joint[15:, 15:]
-    evals, evecs = jnp.linalg.eigh(A)
-    inv_evals = jnp.where(evals > 1e-6 * jnp.maximum(evals.max(), 1e-10),
-                          1.0 / evals, 0.0)
-    A_inv = (evecs * inv_evals[None]) @ evecs.T
-    H_new = D - Bm.T @ A_inv @ Bm
+    H_new = D - Bm.T @ np.linalg.solve(
+        A + 1e-9 * np.eye(15) * max(A.max(), 1.0), Bm)
     H_new = 0.5 * (H_new + H_new.T)
 
     return CoarseIMUState(
-        R_cw=R_cw_new, t_cw=t_cw_new, v=v_new, bias=state.bias,
-        H=H_new, s_log=state.s_log, g2=state.g2,
-    )
+        R_cw=R_cw_new, t_cw=t_cw_new, v=v_new, bias=state.bias.copy(),
+        H=H_new, s_log=state.s_log, g2=state.g2.copy())
 
 
-def make_tracker_prior(state: CoarseIMUState, R_ref_cw, t_ref_cw,
-                       rho0, b_aff0) -> CoarsePrior:
+def _left_jac(w):
+    t = np.linalg.norm(w)
+    W = _hat(w)
+    if t < 1e-8:
+        return np.eye(3) + 0.5 * W + W @ W / 6.0
+    return (np.eye(3) + (1 - np.cos(t)) / (t * t) * W
+            + (t - np.sin(t)) / (t ** 3) * W @ W)
+
+
+def make_tracker_prior(state: CoarseIMUState, R_ref_np, t_ref_np,
+                       rho0: float, b_aff0: float) -> CoarsePrior:
     """Express the belief in the tracker's chart (pose relative to the
-    tracking reference) as a 17-dof prior with zero affine information."""
-    Ri, ti = lie.se3_inv(R_ref_cw, t_ref_cw)
-    R_rel, t_rel = lie.se3_mul(state.R_cw, state.t_cw, Ri, ti)
-    # Pose block chart: left-increment on T_new_ref equals left-increment
-    # on T_new_w (the reference frame is fixed), so H transfers unchanged.
-    H17 = jnp.zeros((17, 17), state.H.dtype)
-    H17 = H17.at[:6, :6].set(state.H[:6, :6])
-    H17 = H17.at[:6, 8:].set(state.H[:6, 6:])
-    H17 = H17.at[8:, :6].set(state.H[6:, :6])
-    H17 = H17.at[8:, 8:].set(state.H[6:, 6:])
-    return CoarsePrior(H=H17, R0=R_rel, t0=t_rel,
-                       aff0=jnp.stack([rho0, b_aff0]),
-                       v0=state.v, b0=state.bias)
+    tracking reference) as a 17-dof device prior, zero affine information.
+    The pose chart is the same left-increment (reference frame fixed), so
+    H transfers unchanged."""
+    R_rel = state.R_cw @ R_ref_np.T
+    t_rel = state.t_cw - R_rel @ t_ref_np
+    H17 = np.zeros((17, 17))
+    H17[:6, :6] = state.H[:6, :6]
+    H17[:6, 8:] = state.H[:6, 6:]
+    H17[8:, :6] = state.H[6:, :6]
+    H17[8:, 8:] = state.H[6:, 6:]
+    return CoarsePrior(
+        H=jnp.asarray(H17, jnp.float32),
+        R0=jnp.asarray(R_rel, jnp.float32),
+        t0=jnp.asarray(t_rel, jnp.float32),
+        aff0=jnp.asarray([rho0, b_aff0], jnp.float32),
+        v0=jnp.asarray(state.v, jnp.float32),
+        b0=jnp.asarray(state.bias, jnp.float32))
 
 
-@jax.jit
-def fuse_visual(state: CoarseIMUState, H_vis8: jnp.ndarray,
+def fuse_visual(state: CoarseIMUState, H_vis8_np: np.ndarray,
                 R_cw, t_cw, v, bias) -> CoarseIMUState:
-    """Fold the tracker's final visual Hessian into the belief and move the
-    center to the tracked state (addVisualToCoarseGraph,
-    CoarseIMULogic.cpp:391)."""
-    H = state.H
-    H = H.at[:6, :6].add(H_vis8[:6, :6])
-    return CoarseIMUState(R_cw=R_cw, t_cw=t_cw, v=v, bias=bias, H=H,
-                          s_log=state.s_log, g2=state.g2)
+    """Fold the (down-weighted) tracked visual Hessian into the belief and
+    move the center to the tracked state (addVisualToCoarseGraph)."""
+    H = state.H.copy()
+    H[:6, :6] += np.asarray(H_vis8_np[:6, :6],
+                            np.float64) * VISUAL_FOLD_WEIGHT
+    return CoarseIMUState(
+        R_cw=np.asarray(R_cw, np.float64), t_cw=np.asarray(t_cw, np.float64),
+        v=np.asarray(v, np.float64), bias=np.asarray(bias, np.float64),
+        H=H, s_log=state.s_log, g2=state.g2.copy())

@@ -16,6 +16,7 @@ from typing import List, Optional
 import jax.numpy as jnp
 import numpy as np
 
+from dmvio_tpu.models import window_ops
 from dmvio_tpu.ops import ba_solve
 from dmvio_tpu.ops.residuals import BAFrames, BAPoints
 from dmvio_tpu.utils.camera import Calib
@@ -108,106 +109,57 @@ class Window:
         return np.asarray(self.points.mask)
 
     def free_frame_slot(self) -> int:
-        m = self.frame_mask_np()
-        free = np.where(~m)[0]
-        if len(free) == 0:
-            raise RuntimeError("window full: marginalize before inserting")
-        return int(free[0])
+        """First unoccupied slot (host truth: slot_frame_id)."""
+        for s, fid in enumerate(self.slot_frame_id):
+            if fid is None:
+                return s
+        raise RuntimeError("window full: marginalize before inserting")
 
     def newest_slot(self) -> int:
         ids = [(-1 if i is None else i) for i in self.slot_frame_id]
         return int(np.argmax(ids))
 
-    def slots_by_age(self) -> List[int]:
-        """Occupied slots, oldest first."""
+    def slots_by_age(self):
+        """Occupied slots, oldest first (host truth, no device fetch)."""
         occ = [(fid, s) for s, fid in enumerate(self.slot_frame_id)
-               if fid is not None and self.frame_mask_np()[s]]
+               if fid is not None]
         return [s for _, s in sorted(occ)]
 
     # -- mutations -------------------------------------------------------
     def insert_frame(self, slot: int, frame_id: int, pyr: tuple,
                      R_cw, t_cw, aff) -> None:
-        f = self.frames
-        self.frames = f._replace(
-            R_cw=f.R_cw.at[slot].set(R_cw),
-            t_cw=f.t_cw.at[slot].set(t_cw),
-            aff=f.aff.at[slot].set(aff),
-            R0_cw=f.R0_cw.at[slot].set(R_cw),
-            t0_cw=f.t0_cw.at[slot].set(t_cw),
-            aff0=f.aff0.at[slot].set(aff),
-            mask=f.mask.at[slot].set(True),
-        )
-        self.images = self.images.at[slot].set(pyr[0])
+        self.frames, self.images, self.pair_mask = window_ops.insert_frame(
+            self.frames, self.images, self.pair_mask, self.points.mask,
+            slot, pyr[0], jnp.asarray(R_cw), jnp.asarray(t_cw),
+            jnp.asarray(aff))
         self.pyramids[slot] = pyr
         self.slot_frame_id[slot] = frame_id
         self.kf_count += 1
-        # New frame observes all current active points; no self-residuals
-        # for points hosted in it (none yet).
-        pm = np.array(self.pair_mask)
-        pm[slot, :] = self.point_mask_np()
-        self.pair_mask = jnp.asarray(pm)
 
     def set_fej_to_current(self, slot: int) -> None:
         """Move a frame's linearization point to its current state
-        (reference setEvalPT for the newest KF, FullSystemOptimize.cpp:596)."""
-        f = self.frames
-        self.frames = f._replace(
-            R0_cw=f.R0_cw.at[slot].set(f.R_cw[slot]),
-            t0_cw=f.t0_cw.at[slot].set(f.t_cw[slot]),
-            aff0=f.aff0.at[slot].set(f.aff[slot]),
-        )
+        (reference setEvalPT, FullSystemOptimize.cpp:596)."""
+        self.frames = window_ops.set_fej_current(self.frames, slot)
 
-    def add_points(self, hosts, u, v, idepth, color, weight, valid) -> int:
-        """Fill free point slots with new actives; returns count added.
+    def add_points(self, hosts, u, v, idepth, color, weight, valid,
+                   score=None) -> None:
+        """Admit candidate points into free slots (device rank-matching)."""
+        if score is None:
+            score = jnp.ones_like(jnp.asarray(u))
+        self.points, self.pair_mask, _ = window_ops.admit_points(
+            self.points, self.pair_mask, self.frames.mask,
+            jnp.asarray(hosts, jnp.int32), jnp.asarray(u), jnp.asarray(v),
+            jnp.asarray(idepth), jnp.asarray(color), jnp.asarray(weight),
+            jnp.asarray(valid), jnp.asarray(score))
 
-        `hosts` is a per-point host-slot array (activated immatures can be
-        hosted in any window frame)."""
-        pm = self.point_mask_np()
-        free = np.where(~pm)[0]
-        n_new = int(np.asarray(valid).sum())
-        take = min(len(free), n_new)
-        if take == 0:
-            return 0
-        src = np.where(np.asarray(valid))[0][:take]
-        dst = free[:take]
-        p = self.points
-        src_j = jnp.asarray(src)
-        dst_j = jnp.asarray(dst)
-        hosts_np = np.asarray(hosts)[src]
-        self.points = p._replace(
-            host=p.host.at[dst_j].set(jnp.asarray(hosts_np)),
-            u=p.u.at[dst_j].set(jnp.asarray(u)[src_j]),
-            v=p.v.at[dst_j].set(jnp.asarray(v)[src_j]),
-            idepth=p.idepth.at[dst_j].set(jnp.asarray(idepth)[src_j]),
-            idepth_zero=p.idepth_zero.at[dst_j].set(jnp.asarray(idepth)[src_j]),
-            color=p.color.at[dst_j].set(jnp.asarray(color)[src_j]),
-            weight=p.weight.at[dst_j].set(jnp.asarray(weight)[src_j]),
-            mask=p.mask.at[dst_j].set(True),
-        )
-        # New points are observed by all occupied frames except their host.
-        pm2 = np.array(self.pair_mask)
-        fm = self.frame_mask_np()
-        for s in np.where(fm)[0]:
-            pm2[s, dst] = hosts_np != s
-        self.pair_mask = jnp.asarray(pm2)
-        return take
-
-    def drop_points(self, drop: np.ndarray) -> None:
-        if not drop.any():
-            return
-        dj = jnp.asarray(drop)
-        self.points = self.points._replace(mask=self.points.mask & ~dj)
-        pm = np.array(self.pair_mask)
-        pm[:, drop] = False
-        self.pair_mask = jnp.asarray(pm)
+    def drop_points(self, drop) -> None:
+        self.points, self.pair_mask = window_ops.drop_points_mask(
+            self.points, self.pair_mask, jnp.asarray(drop))
 
     def drop_frame(self, slot: int) -> None:
         """Clear a slot after its information is in the prior."""
-        f = self.frames
-        self.frames = f._replace(mask=f.mask.at[slot].set(False))
-        pm = np.array(self.pair_mask)
-        pm[slot, :] = False
-        self.pair_mask = jnp.asarray(pm)
+        self.frames, self.pair_mask = window_ops.drop_frame_slot(
+            self.frames, self.pair_mask, slot)
         self.pyramids[slot] = None
         self.slot_frame_id[slot] = None
 

@@ -1,0 +1,278 @@
+"""Joint pose + per-point inverse-depth GN for monocular initialization.
+
+TPU-native re-design of CoarseInitializer::trackFrame / calcResAndGS
+(src/dso/FullSystem/CoarseInitializer.cpp:85/:333): one pyramid level's
+Levenberg iteration optimizes [xi(6), rho, b] jointly with every point's
+inverse depth (Schur complement on the idepth block), with
+neighbour-regularization of the depth field and an "idepth pulls to 1"
+prior before the baseline is sufficient (the reference's alpha energy,
+CoarseInitializer.cpp:439-461).
+
+Re-design notes: the reference regularizes each point toward the median of
+its 10 KD-tree neighbours (makeNN, nanoflann); here the regularization
+target iR comes from splatting the current inverse depths into a coarse
+grid, box-blurring, and gathering — an O(N) separable operation that XLA
+fuses, with the same smoothing role. All N points live in fixed-capacity
+masked arrays; the whole level runs as one lax.while_loop program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dmvio_tpu.ops import interp
+from dmvio_tpu.utils import lie
+from dmvio_tpu.utils.camera import Calib, PATTERN
+
+HUBER_TH = 9.0
+# Reference constants (CoarseInitializer.cpp / settings)
+ALPHA_K = 2.5 * 2.5        # alphaK
+ALPHA_W = 150.0 * 150.0    # alphaW
+REG_WEIGHT = 0.8           # couplingWeight-like idepth smoothing weight
+GRID = 8                   # regularization grid cell (pixels, per level)
+
+
+class InitLevelState(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    rho: jnp.ndarray
+    b_aff: jnp.ndarray
+    idepth: jnp.ndarray    # [N]
+    lam: jnp.ndarray
+    energy: jnp.ndarray
+    snapped: jnp.ndarray   # bool: enough translation
+    it: jnp.ndarray
+    done: jnp.ndarray
+
+
+def _smooth_target(u, v, idepth, mask, h, w):
+    """Regularization target iR: grid-splat + 3x3 blur + gather."""
+    gh, gw = h // GRID + 1, w // GRID + 1
+    gx = jnp.clip((u / GRID).astype(jnp.int32), 0, gw - 1)
+    gy = jnp.clip((v / GRID).astype(jnp.int32), 0, gh - 1)
+    wsum = jnp.zeros((gh, gw)).at[gy, gx].add(mask.astype(jnp.float32))
+    dsum = jnp.zeros((gh, gw)).at[gy, gx].add(
+        jnp.where(mask, idepth, 0.0))
+
+    def box3(a):
+        ap = jnp.pad(a, 1, mode="edge")
+        return (ap[:-2, :-2] + ap[:-2, 1:-1] + ap[:-2, 2:]
+                + ap[1:-1, :-2] + ap[1:-1, 1:-1] + ap[1:-1, 2:]
+                + ap[2:, :-2] + ap[2:, 1:-1] + ap[2:, 2:])
+
+    wsum_b = box3(wsum)
+    dsum_b = box3(dsum)
+    iR_grid = dsum_b / jnp.maximum(wsum_b, 1e-6)
+    iR = iR_grid[gy, gx]
+    have = wsum_b[gy, gx] > 1e-6
+    return jnp.where(have, iR, idepth)
+
+
+def _level_system(tgt_level, calib_l: Calib, u, v, color, pmask,
+                  R, t, rho, b_aff, idepth):
+    """Residuals + Jacobians for one evaluation (all points, 8-pattern)."""
+    h, w = tgt_level.shape[-2:]
+    pat = jnp.asarray(PATTERN)
+    up = u[:, None] + pat[None, :, 0]
+    vp = v[:, None] + pat[None, :, 1]
+
+    xr = (up - calib_l.cx) / calib_l.fx
+    yr = (vp - calib_l.cy) / calib_l.fy
+    ray = jnp.stack([xr, yr, jnp.ones_like(xr)], axis=-1)     # [N,K,3]
+    pt = jnp.einsum("ij,nkj->nki", R, ray) + \
+        t[None, None, :] * idepth[:, None, None]
+    pz = pt[..., 2]
+    vz = pz > 1e-6
+    pzs = jnp.where(vz, pz, 1.0)
+    x = pt[..., 0] / pzs
+    y = pt[..., 1] / pzs
+    un = x * calib_l.fx + calib_l.cx
+    vn = y * calib_l.fy + calib_l.cy
+    inb = interp.in_bounds(un, vn, h, w, pad=2.0) & vz
+
+    samp = interp.bilinear_stack(tgt_level, un, vn)            # [N,K,3]
+    i_t, gx, gy = samp[..., 0], samp[..., 1], samp[..., 2]
+    a = jnp.exp(rho)
+    r = i_t - (a * color + b_aff)
+
+    hw = jnp.where(jnp.abs(r) < HUBER_TH, 1.0,
+                   HUBER_TH / jnp.maximum(jnp.abs(r), 1e-12))
+    ok = inb & pmask[:, None]
+    wt = jnp.where(ok, hw, 0.0)
+
+    dn = idepth[:, None] / pzs
+    gxf = gx * calib_l.fx
+    gyf = gy * calib_l.fy
+    J = jnp.stack([
+        dn * gxf,
+        dn * gyf,
+        -dn * (x * gxf + y * gyf),
+        -(x * y * gxf + (1.0 + y * y) * gyf),
+        (1.0 + x * x) * gxf + x * y * gyf,
+        -y * gxf + x * gyf,
+        -a * color * jnp.ones_like(r),
+        -jnp.ones_like(r),
+    ], axis=-1)                                                # [N,K,8]
+    # d r / d idepth through the central projection chain.
+    Jd = (gxf * (t[0] - t[2] * x) + gyf * (t[1] - t[2] * y)) / pzs
+
+    energy = jnp.sum(wt * r * r * (2.0 - hw))
+    nterm = jnp.sum(ok.astype(jnp.float32))
+
+    Jw = J * wt[..., None]
+    H_pp = jnp.einsum("nka,nkb->ab", Jw, J)
+    b_p = jnp.einsum("nka,nk->a", Jw, r)
+    H_pd = jnp.einsum("nka,nk->na", Jw, Jd)                    # [N,8]
+    H_dd = jnp.einsum("nk,nk->n", wt * Jd, Jd)                 # [N]
+    b_d = jnp.einsum("nk,nk->n", wt * Jd, r)
+    good = jnp.sum(ok, axis=-1) >= 6                           # point usable
+    return H_pp, b_p, H_pd, H_dd, b_d, energy, nterm, good
+
+
+def run_level(tgt_level, calib_l: Calib, u, v, color, pmask,
+              R0, t0, rho0, b0, idepth0, iters: int, fix_aff: bool = False):
+    """Joint LM on one pyramid level; returns InitLevelState."""
+    h, w = tgt_level.shape[-2:]
+    median_ref = jnp.median(jnp.where(pmask, idepth0, 1.0))
+
+    def total_energy(R, t, rho, b_aff, idepth, snapped):
+        _, _, _, _, _, e, n, _ = _level_system(
+            tgt_level, calib_l, u, v, color, pmask, R, t, rho, b_aff, idepth)
+        iR = _smooth_target(u, v, idepth, pmask, h, w)
+        e_reg = REG_WEIGHT * jnp.sum(
+            jnp.where(pmask, (idepth - iR) ** 2, 0.0))
+        # Alpha energy: pull idepth to 1 and penalize no-translation until
+        # snapped (CoarseInitializer.cpp:439-461).
+        npts = jnp.sum(pmask.astype(jnp.float32))
+        e_alpha = jnp.where(
+            snapped, 0.0,
+            ALPHA_W * (jnp.sum(jnp.where(pmask, (idepth - 1.0) ** 2, 0.0))
+                       + npts * jnp.sum(t * t)))
+        return e / jnp.maximum(n, 1.0) * npts + e_reg + e_alpha
+
+    snapped0 = jnp.sum(t0 * t0) > (ALPHA_K / ALPHA_W)
+    e0 = total_energy(R0, t0, rho0, b0, idepth0, snapped0)
+    st0 = InitLevelState(R=R0, t=t0, rho=rho0, b_aff=b0, idepth=idepth0,
+                         lam=jnp.asarray(0.1, jnp.float32), energy=e0,
+                         snapped=snapped0,
+                         it=jnp.asarray(0, jnp.int32),
+                         done=jnp.asarray(False))
+
+    def cond(st):
+        return (st.it < iters) & ~st.done
+
+    def body(st):
+        H_pp, b_p, H_pd, H_dd, b_d, e_ph, n_ph, good = _level_system(
+            tgt_level, calib_l, u, v, color, pmask,
+            st.R, st.t, st.rho, st.b_aff, st.idepth)
+        npts = jnp.sum(pmask.astype(jnp.float32))
+        scale_ph = npts / jnp.maximum(n_ph, 1.0)
+        H_pp = H_pp * scale_ph
+        b_p = b_p * scale_ph
+        H_pd = H_pd * scale_ph
+        H_dd = H_dd * scale_ph
+        b_d = b_d * scale_ph
+
+        # Regularization on idepth (diagonal + residual).
+        iR = _smooth_target(u, v, st.idepth, pmask, h, w)
+        H_dd = H_dd + REG_WEIGHT
+        b_d = b_d + REG_WEIGHT * (st.idepth - iR)
+        # Alpha coupling (until snapped): idepth -> 1, translation grows.
+        not_snapped = ~st.snapped
+        H_dd = H_dd + jnp.where(not_snapped, ALPHA_W, 0.0)
+        b_d = b_d + jnp.where(not_snapped,
+                              ALPHA_W * (st.idepth - 1.0), 0.0)
+        H_pp = H_pp + jnp.where(
+            not_snapped, ALPHA_W * npts, 0.0) * jnp.diag(
+            jnp.array([1., 1., 1., 0., 0., 0., 0., 0.]))
+        b_p = b_p + jnp.where(not_snapped, ALPHA_W * npts, 0.0) * \
+            jnp.concatenate([st.t, jnp.zeros(5)])
+
+        if fix_aff:
+            H_pp = H_pp + jnp.diag(jnp.array(
+                [0, 0, 0, 0, 0, 0, 1e8, 1e8], jnp.float32))
+
+        Hdd_l = H_dd * (1.0 + st.lam) + 1e-10
+        Hdd_inv = jnp.where(pmask & (H_dd > 0), 1.0 / Hdd_l, 0.0)
+        H_sc = H_pp - jnp.einsum("na,n,nb->ab", H_pd, Hdd_inv, H_pd)
+        b_sc = b_p - H_pd.T @ (b_d * Hdd_inv)
+        Hl = H_sc + st.lam * jnp.diag(jnp.diag(H_sc)) \
+            + 1e-6 * jnp.eye(8)
+        d = jnp.sqrt(jnp.maximum(jnp.diag(Hl), 1e-10))
+        step_p = jnp.linalg.solve(Hl / (d[:, None] * d[None, :]),
+                                  -(b_sc / d)) / d
+        step_p = jnp.where(jnp.isfinite(step_p), step_p, 0.0)
+        step_d = -(b_d + H_pd @ step_p) * Hdd_inv
+        step_d = jnp.clip(step_d, -2.0, 2.0)
+
+        Rn, tn = lie.se3_retract(st.R, st.t, step_p[:6])
+        rhon = jnp.clip(st.rho + step_p[6], -2.0, 2.0)
+        bn = jnp.clip(st.b_aff + step_p[7], -80.0, 80.0)
+        dn_ = jnp.where(pmask, jnp.clip(st.idepth + step_d, 1e-3, 50.0),
+                        st.idepth)
+
+        snapped_n = st.snapped | (jnp.sum(tn * tn) > (ALPHA_K / ALPHA_W))
+        en = total_energy(Rn, tn, rhon, bn, dn_, st.snapped)
+        accept = (en < st.energy) & jnp.isfinite(en)
+        sel = lambda a_, b_: jnp.where(accept, a_, b_)
+        return InitLevelState(
+            R=sel(Rn, st.R), t=sel(tn, st.t), rho=sel(rhon, st.rho),
+            b_aff=sel(bn, st.b_aff),
+            idepth=jnp.where(accept, dn_, st.idepth),
+            lam=jnp.where(accept, jnp.maximum(st.lam * 0.5, 1e-5),
+                          st.lam * 4.0),
+            energy=sel(en, st.energy),
+            snapped=jnp.where(accept, snapped_n, st.snapped),
+            it=st.it + 1,
+            done=(jnp.sum(step_p * step_p) < 1e-12) | (st.lam > 1e5),
+        )
+
+    return jax.lax.while_loop(cond, body, st0)
+
+
+def init_track(first_pyr, new_pyr, calib0: Calib, u0, v0, pmask,
+               R_init, t_init, rho_init, b_init, idepth_init,
+               levels: int = 5):
+    """Coarse-to-fine joint init tracking (one jitted program).
+
+    u0/v0 are level-0 point coordinates in the FIRST frame; colors are
+    re-sampled per level from the first frame's pyramid. Returns
+    (R, t, rho, b, idepth [level-0 points], snapped, energy)."""
+    R, t = R_init, t_init
+    rho, b_aff = rho_init, b_init
+    idepth = idepth_init
+    iters = (50, 50, 30, 10, 5, 5)     # fine -> coarse (reference order)
+    snapped = jnp.asarray(False)
+    for lvl in range(levels - 1, -1, -1):
+        calib_l = calib0.at_level(lvl)
+        s = 0.5 ** lvl
+        ul = (u0 + 0.5) * s - 0.5
+        vl = (v0 + 0.5) * s - 0.5
+        ref_lvl = first_pyr[lvl]
+        h_l, w_l = ref_lvl.shape[-2:]
+        m = pmask & interp.in_bounds(ul, vl, h_l, w_l, pad=2.0)
+        pat = jnp.asarray(PATTERN)
+        color = jax.vmap(
+            lambda uu, vv: interp.bilinear(ref_lvl[0], uu + pat[:, 0],
+                                           vv + pat[:, 1])
+        )(ul, vl)   # [N, K] per-pattern reference intensities
+        st = run_level(new_pyr[lvl], calib_l, ul, vl, color, m,
+                       R, t, rho, b_aff, idepth,
+                       iters[min(lvl, len(iters) - 1)])
+        R, t, rho, b_aff, idepth = st.R, st.t, st.rho, st.b_aff, st.idepth
+        snapped = st.snapped
+    # Validity: finite + enough usable points at finest level.
+    finite = jnp.all(jnp.isfinite(t)) & jnp.all(jnp.isfinite(idepth))
+    packed = jnp.concatenate([
+        R.reshape(-1), t, rho[None], b_aff[None],
+        snapped.astype(jnp.float32)[None],
+        finite.astype(jnp.float32)[None],
+        st.energy[None],
+    ])
+    return R, t, rho, b_aff, idepth, packed
+
+
+init_track_jit = jax.jit(init_track, static_argnames="levels")

@@ -189,6 +189,99 @@ def sqrt_information(pre: PreintState, jitter: float = 1e-10) -> jnp.ndarray:
     return jnp.linalg.inv(L)
 
 
+def preintegrate_np(acc, gyr, dts, bias):
+    """Host-side float64 preintegration (NumPy) for the coarse filter.
+
+    The per-frame chunks are ~10 samples; their covariance is tiny, so the
+    downstream information-propagation Schur cancels large terms — float32
+    on device turns that into indefinite garbage, float64 on host is exact
+    to working precision and costs microseconds. Mirrors preintegrate().
+    Returns a dict with the same fields as PreintState (numpy float64).
+    """
+    import numpy as np
+
+    bg = np.asarray(bias[:3], np.float64)
+    ba = np.asarray(bias[3:6], np.float64)
+    sg, sa, si = 1.6968e-4, 2.0e-3, 1e-8
+    dR = np.eye(3)
+    dv = np.zeros(3)
+    dp = np.zeros(3)
+    T = 0.0
+    dR_dbg = np.zeros((3, 3))
+    dv_dbg = np.zeros((3, 3))
+    dv_dba = np.zeros((3, 3))
+    dp_dbg = np.zeros((3, 3))
+    dp_dba = np.zeros((3, 3))
+    cov = np.zeros((9, 9))
+
+    def hat(w):
+        return np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]],
+                         [-w[1], w[0], 0]])
+
+    def exp_so3(w):
+        t = np.linalg.norm(w)
+        W = hat(w)
+        if t < 1e-8:
+            return np.eye(3) + W + 0.5 * W @ W
+        return (np.eye(3) + np.sin(t) / t * W
+                + (1 - np.cos(t)) / (t * t) * W @ W)
+
+    def right_jac(w):
+        t = np.linalg.norm(w)
+        W = hat(w)
+        if t < 1e-6:
+            return np.eye(3) - 0.5 * W + W @ W / 6.0
+        return (np.eye(3) - (1 - np.cos(t)) / (t * t) * W
+                + (t - np.sin(t)) / (t ** 3) * W @ W)
+
+    I3 = np.eye(3)
+    Z3 = np.zeros((3, 3))
+    for k in range(len(dts)):
+        dt = float(dts[k])
+        if dt <= 0:
+            continue
+        a_c = np.asarray(acc[k], np.float64) - ba
+        w_c = (np.asarray(gyr[k], np.float64) - bg) * dt
+        dRk = exp_so3(w_c)
+        Jr = right_jac(w_c)
+        aH = hat(a_c)
+
+        A = np.block([
+            [dRk.T, Z3, Z3],
+            [-dR @ aH * dt, I3, Z3],
+            [-0.5 * dR @ aH * dt * dt, I3 * dt, I3],
+        ])
+        B = np.block([
+            [Jr * dt, Z3, Z3],
+            [Z3, dR * dt, Z3],
+            [Z3, 0.5 * dR * dt * dt, dR * dt],
+        ])
+        Q = np.block([
+            [sg ** 2 / dt * I3, Z3, Z3],
+            [Z3, sa ** 2 / dt * I3, Z3],
+            [Z3, Z3, si ** 2 * dt * I3],
+        ])
+        cov = A @ cov @ A.T + B @ Q @ B.T
+
+        dR_dbg_n = dRk.T @ dR_dbg - Jr * dt
+        dv_dbg_n = dv_dbg - dR @ aH @ dR_dbg * dt
+        dv_dba_n = dv_dba - dR * dt
+        dp_dbg_n = dp_dbg + dv_dbg * dt - 0.5 * dR @ aH @ dR_dbg * dt * dt
+        dp_dba_n = dp_dba + dv_dba * dt - 0.5 * dR * dt * dt
+        dp = dp + dv * dt + 0.5 * dR @ a_c * dt * dt
+        dv = dv + dR @ a_c * dt
+        dR = dR @ dRk
+        dR_dbg, dv_dbg, dv_dba = dR_dbg_n, dv_dbg_n, dv_dba_n
+        dp_dbg, dp_dba = dp_dbg_n, dp_dba_n
+        T += dt
+    return {
+        "dR": dR, "dv": dv, "dp": dp, "dt": T, "cov": cov,
+        "dR_dbg": dR_dbg, "dv_dbg": dv_dbg, "dv_dba": dv_dba,
+        "dp_dbg": dp_dbg, "dp_dba": dp_dba,
+        "bias_lin": np.concatenate([bg, ba]),
+    }
+
+
 def bias_walk_sqrt_info(
     dt: jnp.ndarray,
     sigma_gyro_walk: float = 8.0e-5,   # reference tumvi.yaml

@@ -68,7 +68,7 @@ class TestCoarseTracker:
             jnp.zeros(3) if t0 is None else t0,
             jnp.zeros(()), jnp.zeros(()),
             levels=LEVELS,
-        )
+        )[0]
 
     def test_large_motion_with_brightness(self):
         xi_true = jnp.array([0.06, -0.04, 0.03, 0.02, -0.03, 0.025])

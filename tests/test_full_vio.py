@@ -1,0 +1,87 @@
+"""End-to-end visual-INERTIAL odometry on the synthetic VIO sequence.
+
+The full stack in play: visual init -> coarse IMU init (scale/gravity from
+the 100-pose window) -> ACTIVE VIO (joint BA + IMU-aided tracking +
+extended marginalization). Scored METRICALLY: with the IMU the absolute
+scale is observable, so the trajectory must match ground truth under
+SE(3)-only alignment (no scale correction) — the capability that defines
+DM-VIO vs DSO."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmvio_tpu.models import full_system, imu_system, window
+from dmvio_tpu.utils import lie, synthetic, trajectory
+
+H, W = 192, 256
+N_FRAMES = 55
+
+
+@pytest.fixture(scope="module")
+def vio_run():
+    seq = synthetic.generate_vio_sequence(
+        n_frames=N_FRAMES, frame_dt=0.05, h=H, w=W,
+        s_dso=1.4, g2=(0.06, -0.04), accel_scale=0.8, rot_scale=0.45,
+        seed=3)
+    cfg = window.Config(f_max=6, p_max=512, i_max=512, max_frames=4,
+                        levels=4, ba_iters=6)
+    fs = full_system.FullSystem(seq["calib"], H, W, cfg,
+                                imu_calib=imu_system.IMUCalib())
+    spf = seq["steps_per_frame"]
+    for i in range(N_FRAMES):
+        if i == 0:
+            chunk = None
+        else:
+            s0, s1 = (i - 1) * spf, i * spf
+            chunk = (seq["acc"][s0:s1], seq["gyr"][s0:s1],
+                     np.full(s1 - s0, seq["imu_dt"], np.float32))
+        fs.add_frame(seq["images"][i], float(seq["timestamps"][i]),
+                     imu_data=chunk)
+    return fs, seq
+
+
+def test_vio_activates(vio_run):
+    fs, seq = vio_run
+    assert fs.initialized
+    assert fs.imu.phase == imu_system.ACTIVE, fs.imu.phase
+    assert not fs.is_lost
+
+
+def test_vio_metric_scale(vio_run):
+    """The estimated metric scale factor matches the generator's s_dso
+    (up to the visual window's internal scale drift)."""
+    fs, seq = vio_run
+    st = jax.device_get(fs.imu.states)
+    s_est = float(np.exp(st.s_log))
+    # The window is normalized to median idepth 1 at depth ~2m while the
+    # generator's dso world uses s_dso directly; compare metrically below
+    # instead — here just require a sane, converged scale.
+    assert np.isfinite(s_est) and 0.05 < s_est < 20.0
+
+
+def test_vio_metric_trajectory(vio_run):
+    fs, seq = vio_run
+    est = fs.metric_trajectory()
+    assert est is not None
+    gt = []
+    for i in range(N_FRAMES):
+        Rb = seq["R_body"][i]
+        gt.append((float(seq["timestamps"][i]), np.asarray(Rb),
+                   seq["p_gt"][i]))
+    # Drop the pre-initialization prefix (poses there come from the
+    # visual initializer's rough tracking).
+    first_kf = min(fs.kf_poses.keys())
+    est_tail = [e for e, sh in zip(est, fs.shells)
+                if sh.frame_id >= first_kf + 5]
+    gt_tail = [g for g, sh in zip(gt, fs.shells)
+               if sh.frame_id >= first_kf + 5]
+    ate_se3 = trajectory.ate_rmse(est_tail, gt_tail, with_scale=False)
+    ate_sim3 = trajectory.ate_rmse(est_tail, gt_tail, with_scale=True)
+    # Metric: SE(3)-aligned error must be small in absolute meters and
+    # close to the Sim(3)-aligned one (scale correctly estimated).
+    dist = np.sum(np.linalg.norm(np.diff(
+        np.stack([g[2] for g in gt_tail]), axis=0), axis=1))
+    assert ate_se3 < 0.05 * dist + 0.02, (ate_se3, dist)
+    assert ate_se3 < 2.0 * ate_sim3 + 0.02, (ate_se3, ate_sim3)
