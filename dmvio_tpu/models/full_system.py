@@ -101,6 +101,7 @@ class FullSystem:
         self.track_energy_ref = 1.0   # running mean of achieved track energy
         self._n_active = 0.0          # density estimate (lagged one KF)
         self.stats_kf = 0
+        self.stats_lost_frames = 0
 
     # ------------------------------------------------------------------
     def add_frame(self, img: jnp.ndarray, timestamp: float,
@@ -243,6 +244,7 @@ class FullSystem:
                 break
         if best is None:
             self.is_lost = True
+            self.stats_lost_frames += 1
             best, best_res = pk, res  # keep last attempt (= prediction)
         else:
             self.is_lost = False   # a valid track recovers the system
@@ -377,8 +379,11 @@ class FullSystem:
         imu = self.imu
         imu.activate(w.frames, w.slot_frame_id, imu.init_velocity_of)
         Cv = ba_solve.cdim(self.cfg.f_max)
-        imu.HM = vio_ba.embed_vis(w.HM * vio_ba.W_DSO, self.cfg.f_max)
-        imu.bM0 = vio_ba.embed_vis(w.bM0 * vio_ba.W_DSO, self.cfg.f_max)
+        C = vio_ba.cdim_ext(self.cfg.f_max)
+        imu.HM = np.zeros((C, C), np.float64)
+        imu.HM[:Cv, :Cv] = w.HM * vio_ba.W_DSO
+        imu.bM0 = np.zeros((C,), np.float64)
+        imu.bM0[:Cv] = w.bM0 * vio_ba.W_DSO
         imu.reinit_coarse_from_ba(
             w.frames.R_cw[newest_slot], w.frames.t_cw[newest_slot],
             newest_slot)
@@ -400,14 +405,17 @@ class FullSystem:
         w = self.win
         base = ba.BAProblem(
             frames=w.frames, points=w.points, calib=w.calib,
-            calib0=w.calib0, HM=w.HM, bM0=w.bM0,
+            calib0=w.calib0, HM=jnp.asarray(w.HM, jnp.float32),
+            bM0=jnp.asarray(w.bM0, jnp.float32),
             prior_diag=w.prior_diag, pair_mask=w.pair_mask,
         )
         if self._vio_mode():
             imu = self.imu
             problem = vio_ba.VIOProblem(
                 base=base, states=imu.states, pairs=imu.device_pairs(),
-                HM=imu.HM, bM0=imu.bM0, prior_diag=self._ext_prior_diag(),
+                HM=jnp.asarray(imu.HM, jnp.float32),
+                bM0=jnp.asarray(imu.bM0, jnp.float32),
+                prior_diag=self._ext_prior_diag(),
                 R_cb=imu.R_cb, t_cb=imu.t_cb, imu_on=jnp.asarray(True),
             )
             result = vio_ba.optimize_jit(problem, w.images,
@@ -487,35 +495,41 @@ class FullSystem:
         vio = self._vio_mode()
         problem = ba.BAProblem(
             frames=w.frames, points=w.points, calib=w.calib,
-            calib0=w.calib0, HM=w.HM, bM0=w.bM0,
+            calib0=w.calib0, HM=jnp.asarray(w.HM, jnp.float32),
+            bM0=jnp.asarray(w.bM0, jnp.float32),
             prior_diag=w.prior_diag, pair_mask=w.pair_mask,
         )
         if vio:
             vproblem = vio_ba.VIOProblem(
                 base=problem, states=self.imu.states,
-                pairs=self.imu.device_pairs(), HM=self.imu.HM,
-                bM0=self.imu.bM0, prior_diag=self._ext_prior_diag(),
+                pairs=self.imu.device_pairs(),
+                HM=jnp.asarray(self.imu.HM, jnp.float32),
+                bM0=jnp.asarray(self.imu.bM0, jnp.float32),
+                prior_diag=self._ext_prior_diag(),
                 R_cb=self.imu.R_cb, t_cb=self.imu.t_cb,
                 imu_on=jnp.asarray(True))
             HM_add, bM_add = vio_ba.marginalize_points_ext_jit(
                 vproblem, w.images, marg_pts, F)
-            self.imu.HM = self.imu.HM + HM_add
-            self.imu.bM0 = self.imu.bM0 + bM_add
+            self.imu.HM = self.imu.HM + np.asarray(HM_add, np.float64)
+            self.imu.bM0 = self.imu.bM0 + np.asarray(bM_add, np.float64)
         else:
             HM_add, bM_add = ba.marginalization_update_jit(
                 problem, w.images, marg_pts)
-            w.HM = w.HM + HM_add
-            w.bM0 = w.bM0 + bM_add
+            w.HM = w.HM + np.asarray(HM_add, np.float64)
+            w.bM0 = w.bM0 + np.asarray(bM_add, np.float64)
         # Drop hosted points and the victims' pair rows (device).
         w.points, w.pair_mask = window_ops.drop_points_mask(
             w.points, pair_rows_cleared, hosted)
         if vio:
             self._vio_marginalize_frames(victims)
         else:
+            Cv = ba_solve.cdim(F)
             for s_ in victims:
                 w.frame_prior_into_HM(s_)
-                w.HM, w.bM0 = ba_solve.marginalize_frame_prior(
-                    w.HM, w.bM0, s_, F)
+                i0 = ba_solve.CPART + 8 * s_
+                mmask = np.zeros(Cv, bool)
+                mmask[i0:i0 + 8] = True
+                w.HM, w.bM0 = vio_ba.schur_out_np(w.HM, w.bM0, mmask)
                 w.frames, w.pair_mask = window_ops.drop_frame_slot(
                     w.frames, w.pair_mask, s_)
                 w.pyramids[s_] = None
@@ -550,8 +564,8 @@ class FullSystem:
             HM_add, bM_add = vio_ba.fold_pairs_into_prior_jit(
                 w.frames, imu.states, pairs_dev, imu.R_cb, imu.t_cb,
                 w.calib, w.calib0, F, jnp.asarray(sel))
-            imu.HM = imu.HM + HM_add
-            imu.bM0 = imu.bM0 + bM_add
+            imu.HM = imu.HM + np.asarray(HM_add, np.float64)
+            imu.bM0 = imu.bM0 + np.asarray(bM_add, np.float64)
             imu.drop_pairs_touching(list(victims))
         # 2) Per-victim: diagonal priors into HM, Schur, free the slot.
         Cv = ba_solve.cdim(F)
@@ -565,14 +579,13 @@ class FullSystem:
             idx = np.concatenate([np.arange(i0, i0 + 8),
                                   np.arange(j0, j0 + 9)])
             vals = np.concatenate([blk, pr_imu[j0:j0 + 9]])
-            imu.HM = imu.HM.at[jnp.asarray(idx), jnp.asarray(idx)].add(
-                jnp.asarray(vals, jnp.float32))
+            imu.HM[idx, idx] += vals
             pr_vis[i0:i0 + 8] = 0.0
             pr_imu[j0:j0 + 9] = 0.0
             w.prior_diag = jnp.asarray(pr_vis)
             imu.prior_diag = jnp.asarray(pr_imu)
-            imu.HM, imu.bM0 = ba_solve.schur_out(
-                imu.HM, imu.bM0, vio_ba.frame_marg_mask(s, F))
+            imu.HM, imu.bM0 = vio_ba.schur_out_np(
+                imu.HM, imu.bM0, np.asarray(vio_ba.frame_marg_mask(s, F)))
             w.frames, w.pair_mask = window_ops.drop_frame_slot(
                 w.frames, w.pair_mask, s)
 

@@ -156,6 +156,9 @@ def optimize(st: CoarseInitState, R_cb, t_cb,
         dx = jnp.linalg.solve(Hp, -(b / d)) / d
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0) * vmask
         xn = s.x + dx
+        # Keep scale/gravity in a sane region (divergence guard).
+        xn = xn.at[0].set(jnp.clip(xn[0], -6.0, 6.0))
+        xn = xn.at[1:3].set(jnp.clip(xn[1:3], -1.5, 1.5))
         en = energy(xn)
         acc = (en < s.e) & jnp.isfinite(en)
         return _S(

@@ -32,6 +32,11 @@ from dmvio_tpu.utils.timing import TimeMeasurement
 
 FRAME_IMU_CAP = 64     # max samples between consecutive frames
 KF_IMU_CAP = 1024      # max samples between consecutive keyframes
+# Rolling init window length. Longer windows are NOT better here: poses are
+# resolved against keyframes frozen at their marginalization time, so old
+# entries live in a drifted window gauge and poison the fit (the reference
+# re-optimizes old poses in PGBA for exactly this reason).
+INIT_WINDOW = 28
 
 INACTIVE, COARSE_INIT, ACTIVE = 0, 1, 2
 
@@ -176,7 +181,7 @@ class IMUSystem:
         self._init_pres.append(self.last_frame_pre)
         self._init_fids.append(fid)
         self._init_dts.append(float(self.last_frame_pre_np["dt"]))
-        if len(self._init_poses) > imu_init.N_MAX:
+        if len(self._init_poses) > INIT_WINDOW:
             self._init_poses.pop(0)
             self._init_pres.pop(0)
             self._init_fids.pop(0)
@@ -211,7 +216,7 @@ class IMUSystem:
         variance alone is blind to a diverged solution sitting in a steep
         spot)."""
         n = len(self._init_poses)
-        if n < 20:
+        if n < 24:
             return False
         with TimeMeasurement("imu_coarse_init"):
             N = imu_init.N_MAX
@@ -262,9 +267,15 @@ class IMUSystem:
         self.init_result = res
         n_res = 9.0 * max(n - 1, 1)
         mean_e = float(res.energy) / n_res
-        self._last_init_decent = np.isfinite(mean_e) and mean_e < 5000.0
-        ok = bool(res.ok) and float(res.s_var) < scale_var_th \
-            and np.isfinite(float(res.s_log)) and mean_e < 400.0
+        finite = np.isfinite(float(res.s_log)) and np.isfinite(mean_e)
+        if not finite:
+            # A diverged fit must not poison the next warm start.
+            self.init_result = None
+            self._last_init_decent = False
+            return False
+        self._last_init_decent = mean_e < 50.0
+        # Gate: converged (E/dof at the noise floor), scale marginal tight.
+        ok = bool(res.ok) and float(res.s_var) < 0.15 and mean_e < 5.0
         return ok
 
     def activate(self, window_frames, slot_frame_ids, frame_vel_lookup):
@@ -278,8 +289,8 @@ class IMUSystem:
         self.s_log = float(res.s_log)
         self.g2 = np.asarray(res.g2)
         C = vio_ba.cdim_ext(F)
-        self.HM = jnp.zeros((C, C), jnp.float32)
-        self.bM0 = jnp.zeros((C,), jnp.float32)
+        self.HM = np.zeros((C, C), np.float64)
+        self.bM0 = np.zeros((C,), np.float64)
 
         v = np.zeros((F, 3), np.float32)
         bg = np.tile(np.asarray(res.bias[:3], np.float32), (F, 1))
@@ -309,7 +320,13 @@ class IMUSystem:
             prior[off + 3:off + 6] = 1.0 / (0.01 ** 2)   # gyro bias
             prior[off + 6:off + 9] = 1.0 / (0.1 ** 2)    # accel bias
         Cg = ba_solve.cdim(F) + 9 * F
-        prior[Cg + 1:Cg + 3] = 1.0 / (0.05 ** 2)         # gravity tangent
+        # Pin scale and gravity at the (variance-gated, converged) coarse
+        # init values: with only a handful of active IMU factors they are
+        # weakly observable in the window and the visual pose-noise bias
+        # steadily inflates the scale otherwise (shrink-the-world pressure).
+        # sigma ~ 1% scale / 0.01 rad gravity still allows BA refinement.
+        prior[Cg] = 1e4
+        prior[Cg + 1:Cg + 3] = 1e4
         self.prior_diag = jnp.asarray(prior)
         self.phase = ACTIVE
 
@@ -382,6 +399,14 @@ class IMUSystem:
         self.pairs = keep
         return removed
 
+    # Scale-fix (reference finishKeyframeOperations, BAIMULogic.cpp:457-497
+    # with setting_scaleFixTH): once the scale estimate is stable across a
+    # sliding window of keyframes, STOP optimizing scale/gravity — with the
+    # window's few active IMU factors they are only weakly observable and
+    # would otherwise random-walk into a shrink-the-world runaway.
+    SCALE_FIX_WINDOW = 6
+    SCALE_FIX_TH = 1.03
+
     def reinit_coarse_from_ba(self, R_cw, t_cw, slot: int) -> None:
         """BA -> coarse handoff after each keyframe optimization
         (finishKeyframeOptimization, BAIMULogic.cpp:641)."""
@@ -394,3 +419,27 @@ class IMUSystem:
             float(st.s_log), np.asarray(st.g2))
         self.s_log = float(st.s_log)
         self.g2 = np.asarray(st.g2)
+        self._maybe_fix_scale(st)
+
+    def _maybe_fix_scale(self, st) -> None:
+        if getattr(self, "scale_fixed", False):
+            return
+        hist = getattr(self, "_s_hist", [])
+        hist.append(float(np.exp(st.s_log)))
+        self._s_hist = hist[-self.SCALE_FIX_WINDOW:]
+        if len(self._s_hist) < self.SCALE_FIX_WINDOW:
+            return
+        lo, hi = min(self._s_hist), max(self._s_hist)
+        if hi / max(lo, 1e-9) < self.SCALE_FIX_TH:
+            self.scale_fixed = True
+            # Move the scale/gravity FEJ to the converged value and pin it
+            # with a huge prior (their HM information is negligible, so the
+            # FEJ move is consistent).
+            sdev = self.states
+            self.states = sdev._replace(
+                s_log0=sdev.s_log, g20=sdev.g2)
+            pr = np.array(self.prior_diag)
+            F = self.f_max
+            Cg = ba_solve.cdim(F) + 9 * F
+            pr[Cg:Cg + 3] = 1e8
+            self.prior_diag = jnp.asarray(pr)

@@ -123,6 +123,18 @@ def dso_to_body(R_cw, t_cw, s_log, g2, R_cb, t_cb):
     return R_wb, p_wb
 
 
+# Residual-floor inflation of the pair covariance (rad, m/s, m): the
+# photometric system holds relative poses only to its own noise level;
+# letting raw IMU sigmas (~10x tighter) dominate re-creates the
+# shrink-the-world escape (s grows until metric positions are silent) that
+# also afflicts the coarse init — see imu_init.SIG_VIS_*. The reference
+# manages the same tension with its dynamic DSO re-weighting
+# (computeDynamicDSOWeight, BAIMULogic.cpp:801-808).
+SIG_FLOOR_ROT = 1e-3
+SIG_FLOOR_VEL = 0.01
+SIG_FLOOR_POS = 0.003
+
+
 def _pair_residual(pre_leaf, R_i0, t_i0, R_j0, t_j0, z, R_cb, t_cb,
                    gravity_mag):
     """15-dim weighted residual of one IMU pair as a function of the local
@@ -140,7 +152,12 @@ def _pair_residual(pre_leaf, R_i0, t_i0, R_j0, t_j0, z, R_cb, t_cb,
     Rb_j, pb_j = dso_to_body(R_j, t_j, s_log, g2, R_cb, t_cb)
     r9 = preint.imu_residual(pre_leaf, Rb_i, pb_i, v_i, Rb_j, pb_j, v_j,
                              b_i, gravity_mag)
-    W9 = preint.sqrt_information(pre_leaf)
+    infl = jnp.diag(jnp.concatenate([
+        jnp.full(3, SIG_FLOOR_ROT ** 2), jnp.full(3, SIG_FLOOR_VEL ** 2),
+        jnp.full(3, SIG_FLOOR_POS ** 2)]))
+    cov = pre_leaf.cov + infl
+    L = jnp.linalg.cholesky(0.5 * (cov + cov.T) + 1e-12 * jnp.eye(9))
+    W9 = jnp.linalg.inv(L)
     r_bias = b_j - b_i
     Wb = preint.bias_walk_sqrt_info(pre_leaf.dt)
     return jnp.concatenate([W9 @ r9, Wb @ r_bias])
@@ -451,6 +468,43 @@ def fold_pairs_into_prior(frames: BAFrames, states: VIOStates,
 
 fold_pairs_into_prior_jit = jax.jit(fold_pairs_into_prior,
                                     static_argnames="F")
+
+
+def schur_out_np(HM: "np.ndarray", bM: "np.ndarray", marg: "np.ndarray"):
+    """Host float64 Schur-out with PSD projection.
+
+    The prior matrix carries pair-factor information of magnitude ~1e8
+    (sqrt-info ~1e4 squared); float32 Schur complements of such terms leave
+    indefinite garbage that ACCUMULATES across keyframes (observed: the
+    scale/gravity diagonal drifting to -1e5, repelling the state). The
+    prior is tiny (C_ext <= ~150) and touched once per keyframe — exact
+    float64 on host costs microseconds."""
+    import numpy as np
+
+    m = np.asarray(marg, bool)
+    k = ~m
+    HM = np.asarray(HM, np.float64)
+    bM = np.asarray(bM, np.float64)
+    Hbb = HM[np.ix_(m, m)]
+    Hbb = 0.5 * (Hbb + Hbb.T)
+    evals, evecs = np.linalg.eigh(Hbb)
+    inv = np.where(evals > 1e-10 * max(evals.max(initial=0.0), 1e-12),
+                   1.0 / np.maximum(evals, 1e-300), 0.0)
+    Hbb_inv = (evecs * inv) @ evecs.T
+    Hkb = HM[np.ix_(k, m)]
+    out_H = HM.copy()
+    out_b = bM.copy()
+    out_H[np.ix_(k, k)] = HM[np.ix_(k, k)] - Hkb @ Hbb_inv @ Hkb.T
+    out_b[k] = bM[k] - Hkb @ (Hbb_inv @ bM[m])
+    out_H[m, :] = 0.0
+    out_H[:, m] = 0.0
+    out_b[m] = 0.0
+    out_H = 0.5 * (out_H + out_H.T)
+    # PSD projection: clip small negative eigenvalues (roundoff defense).
+    ev, U = np.linalg.eigh(out_H)
+    if ev.min() < 0:
+        out_H = (U * np.maximum(ev, 0.0)) @ U.T
+    return out_H, out_b
 
 
 def frame_marg_mask(slot: int, F: int) -> jnp.ndarray:

@@ -89,8 +89,11 @@ class Window:
         self.pair_mask = jnp.zeros((F, P), bool)
         self.calib = calib
         self.calib0 = calib.as_vec()
-        self.HM = jnp.zeros((C, C), jnp.float32)
-        self.bM0 = jnp.zeros((C,), jnp.float32)
+        # Marginalization prior on HOST in float64: Schur complements of
+        # large-magnitude information in f32 accumulate indefinite error
+        # (see vio_ba.schur_out_np); it is tiny and touched per-KF only.
+        self.HM = np.zeros((C, C), np.float64)
+        self.bM0 = np.zeros((C,), np.float64)
         prior = np.zeros(C, np.float32)
         prior[:4] = cfg.calib_prior
         self.prior_diag = jnp.asarray(prior)
@@ -170,8 +173,8 @@ class Window:
         pr = np.asarray(self.prior_diag).copy()
         blk = pr[i0:i0 + 8].copy()
         if blk.any():
-            idx = jnp.arange(i0, i0 + 8)
-            self.HM = self.HM.at[idx, idx].add(jnp.asarray(blk))
+            idx = np.arange(i0, i0 + 8)
+            self.HM[idx, idx] += blk
             pr[i0:i0 + 8] = 0.0
             self.prior_diag = jnp.asarray(pr)
 

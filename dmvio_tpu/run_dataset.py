@@ -32,7 +32,7 @@ def run(argv=None) -> dict:
     for name, default in [
         ("files", ""), ("calib", ""), ("gammaCalib", ""), ("vignette", ""),
         ("imuFile", ""), ("tsFile", ""), ("gtFile", ""),
-        ("resultsPrefix", "./"), ("settingsFile", ""),
+        ("resultsPrefix", "./"), ("settingsFile", ""), ("camchain", ""),
         ("preset", 0), ("nogui", 1), ("quiet", 0), ("useimu", 0),
         ("maxFrames", -1), ("start", 0),
     ]:
@@ -58,7 +58,23 @@ def run(argv=None) -> dict:
         gt_file=su["gtFile"] or None,
     )
     h, w = reader.undist.out_size[1], reader.undist.out_size[0]
-    fs = full_system.FullSystem(reader.undist.K_out, h, w, cfg)
+    imu_calib = None
+    if su["useimu"] and reader.imu is not None:
+        from dmvio_tpu.models.imu_system import IMUCalib
+
+        imu_calib = IMUCalib()
+        if su["camchain"]:
+            import yaml
+            import numpy as _np
+
+            with open(su["camchain"]) as f:
+                cc = yaml.safe_load(f)
+            # kalibr camchain convention: cam0/T_cam_imu = body->cam.
+            T = _np.asarray(cc["cam0"]["T_cam_imu"], _np.float32)
+            imu_calib.R_cb = T[:3, :3]
+            imu_calib.t_cb = T[:3, 3]
+    fs = full_system.FullSystem(reader.undist.K_out, h, w, cfg,
+                                imu_calib=imu_calib)
 
     n = len(reader)
     if su["maxFrames"] > 0:
@@ -68,7 +84,13 @@ def run(argv=None) -> dict:
     for i in range(su["start"], n):
         with TimeMeasurement("frame_total"):
             img = reader.get_image(i)
-            fs.add_frame(img, reader.frames[i].timestamp)
+            imu_chunk = None
+            if imu_calib is not None:
+                acc, gyr, dts = reader.get_imu_chunk(i)
+                if len(dts):
+                    imu_chunk = (acc, gyr, dts)
+            fs.add_frame(img, reader.frames[i].timestamp,
+                         imu_data=imu_chunk)
         if not su["quiet"] and i % 50 == 0:
             print(f"frame {i}/{n} kf={fs.stats_kf} "
                   f"init={fs.initialized} lost={fs.is_lost}")
@@ -79,6 +101,11 @@ def run(argv=None) -> dict:
     trajectory.write_tum(prefix + "result.txt", est)
     kf_est = [e for e, sh in zip(est, fs.shells) if sh.is_kf]
     trajectory.write_tum(prefix + "resultKFs.txt", kf_est)
+    metric = fs.metric_trajectory()
+    if metric is not None:
+        # Metric (gravity-aligned, true-scale) poses — the reference's
+        # resultScaled.txt (printResult x3, main_dmvio_dataset.cpp:298-300).
+        trajectory.write_tum(prefix + "resultScaled.txt", metric)
     save_results(prefix + "timings.txt")
     su.print_all(open(prefix + "usedSettings.txt", "w").write)
 

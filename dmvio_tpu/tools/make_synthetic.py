@@ -29,7 +29,11 @@ def main(argv=None):
 
     from dmvio_tpu.utils import lie, synthetic
 
-    seq = synthetic.generate_vio_sequence(n_frames=n, h=h, w=w, seed=seed)
+    seq = synthetic.generate_vio_sequence(
+        n_frames=n, h=h, w=w, seed=seed,
+        accel_scale=float(args.get("accel", 0.8)),
+        rot_scale=float(args.get("rot", 0.45)),
+        s_dso=float(args.get("s_dso", 1.0)))
     calib = seq["calib"]
 
     img_dir = os.path.join(out, "images")
