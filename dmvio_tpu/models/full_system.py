@@ -102,6 +102,9 @@ class FullSystem:
         self._n_active = 0.0          # density estimate (lagged one KF)
         self.stats_kf = 0
         self.stats_lost_frames = 0
+        # Observer chain (reference Output3DWrapper, Output3DWrapper.h:144).
+        self.output_wrappers = []
+        self._published_status = -1
 
     # ------------------------------------------------------------------
     def add_frame(self, img: jnp.ndarray, timestamp: float,
@@ -173,6 +176,18 @@ class FullSystem:
             else:
                 self.imu.record_init_pose(fid, self.ref_kf_id,
                                           pk.R, pk.t, R_cw_np)
+
+        if self.output_wrappers:
+            R_np = pk.R @ self.ref_pose_np[0]
+            t_np = pk.R @ self.ref_pose_np[1] + pk.t
+            from dmvio_tpu.io import output_wrapper as ow
+            status = (ow.VISUAL_INERTIAL if self._vio_mode()
+                      else ow.VISUAL_ONLY)
+            for w_ in self.output_wrappers:
+                w_.publish_cam_pose(fid, timestamp, R_np, t_np)
+                if status != self._published_status:
+                    w_.publish_system_status(status)
+            self._published_status = status
 
         if need_kf and not self.is_lost:
             # Never build a keyframe from an untracked pose — a garbage KF
@@ -350,6 +365,13 @@ class FullSystem:
             self._set_tracker_ref(slot, fid, pose_pack)
         with TimeMeasurement("spawn_immatures"):
             self._spawn_immatures(slot, pyr)
+
+        if self.output_wrappers:
+            for w_ in self.output_wrappers:
+                w_.publish_keyframes(dict(self.kf_poses))
+                if self._vio_mode():
+                    w_.publish_transform_dso_to_imu(
+                        float(np.exp(self.imu.s_log)), self.imu.g2)
 
         if self.imu is not None:
             if self.imu.phase == imu_system.COARSE_INIT:
@@ -640,6 +662,17 @@ class FullSystem:
             self.win.calib, slot, h=self.h, w=self.w)
 
     # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        """Serialize the complete odometry state (capability the reference
+        lacks, SURVEY.md §5.4)."""
+        from dmvio_tpu.utils import checkpoint
+        checkpoint.save(self, path)
+
+    @staticmethod
+    def load_checkpoint(path: str) -> "FullSystem":
+        from dmvio_tpu.utils import checkpoint
+        return checkpoint.load(path)
+
     def metric_trajectory(self):
         """Body poses in the metric gravity-aligned world (the reference's
         resultScaled.txt via TransformDSOToIMU::transformPose,

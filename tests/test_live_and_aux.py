@@ -1,0 +1,125 @@
+"""Tests for the live-capture layer, observer chain, and checkpoint/resume."""
+
+import numpy as np
+import pytest
+
+from dmvio_tpu.io import live
+from dmvio_tpu.io.output_wrapper import TrajectoryLogger
+
+
+class TestIMUInterpolator:
+    def test_acc_interpolated_onto_gyro_timestamps(self):
+        fc = live.FrameContainer()
+        it = live.IMUInterpolator(fc)
+        # acc at 0, 10ms; gyro at 5ms -> acc interpolated to midpoint.
+        it.add_acc_data([0.0, 0.0, 0.0], 0.000)
+        it.add_acc_data([2.0, 0.0, 0.0], 0.010)
+        it.add_gyr_data([0.1, 0.0, 0.0], 0.005)
+        it.add_image(np.zeros((4, 4)), 0.010)
+        fr = fc.get_frame()
+        assert fr is not None
+        assert len(fr.dts) >= 1
+        np.testing.assert_allclose(fr.acc[0], [1.0, 0.0, 0.0], atol=1e-6)
+        np.testing.assert_allclose(fr.gyr[0], [0.1, 0.0, 0.0], atol=1e-6)
+
+    def test_chunk_ends_at_image_timestamp(self):
+        fc = live.FrameContainer()
+        it = live.IMUInterpolator(fc)
+        for k in range(10):
+            t = k * 0.005
+            it.add_acc_data([1.0, 2.0, 3.0], t)
+            it.add_gyr_data([0.1, 0.2, 0.3], t)
+        it.add_image(None, 0.033)
+        fr = fc.get_frame()
+        # dts sum exactly to the frame interval span.
+        assert abs(fr.dts.sum() - (0.033 - (0.0 - 0.005))) < 0.02
+
+    def test_out_of_order_tolerated(self):
+        fc = live.FrameContainer()
+        it = live.IMUInterpolator(fc)
+        it.add_gyr_data([0.1, 0, 0], 0.010)
+        it.add_gyr_data([0.2, 0, 0], 0.005)   # late arrival
+        it.add_acc_data([1, 0, 0], 0.004)
+        it.add_acc_data([1, 0, 0], 0.012)
+        it.add_image(None, 0.015)
+        fr = fc.get_frame()
+        assert (np.diff(np.cumsum(fr.dts)) >= 0).all()
+
+
+class TestFrameContainer:
+    def test_skip_concatenates_imu(self):
+        fc = live.FrameContainer()
+        for k in range(3):
+            fc.add_frame(live.LiveFrame(
+                image=np.full((2, 2), k), timestamp=0.05 * k,
+                acc=np.ones((2, 3)) * k, gyr=np.zeros((2, 3)),
+                dts=np.full(2, 0.01)))
+        fr = fc.get_frame(max_skip=2)
+        # Newest image, all three frames' IMU chunks.
+        assert fr.image[0, 0] == 2
+        assert len(fr.dts) == 6
+
+    def test_skipping_strategy_by_status(self):
+        st = live.FrameSkippingStrategy()
+        assert st.get_max_skip_frames(5) == 0          # visual init
+        st.publish_system_status(live.VISUAL_INERTIAL)
+        assert st.get_max_skip_frames(5) == 2
+        assert st.get_max_skip_frames(1) == 0          # no backlog
+
+
+def test_dataset_saver_roundtrip(tmp_path):
+    sv = live.DatasetSaver(str(tmp_path))
+    sv.add_image(np.full((8, 8), 128.0), 0.0)
+    sv.add_image(np.full((8, 8), 64.0), 0.05)
+    sv.add_imu(0.02, [0.1, 0.2, 0.3], [1.0, 2.0, 9.8])
+    sv.end()
+    from dmvio_tpu.io import dataset as ds
+    with open(tmp_path / "camera.txt", "w") as f:
+        f.write("Pinhole 10 10 3.5 3.5 0\n8 8\n10 10 3.5 3.5 0\n8 8\n")
+    rd = ds.open_dataset(str(tmp_path / "images"),
+                         str(tmp_path / "camera.txt"),
+                         ts_file=str(tmp_path / "times.txt"),
+                         imu_file=str(tmp_path / "imu.txt"))
+    assert len(rd) == 2
+    assert rd.imu is not None and rd.imu.shape == (1, 7)
+
+
+def test_checkpoint_resume_continues_identically():
+    import jax.numpy as jnp
+
+    from dmvio_tpu.models import full_system, window
+    from dmvio_tpu.utils import synthetic, trajectory
+
+    H, W, N = 96, 128, 26
+    seq = synthetic.generate_vio_sequence(
+        n_frames=N, frame_dt=0.05, h=H, w=W, accel_scale=0.8,
+        rot_scale=0.45, seed=5)
+    cfg = window.Config(f_max=5, p_max=256, i_max=256, max_frames=3,
+                        levels=4, ba_iters=4)
+
+    def feed(fs, lo, hi):
+        for i in range(lo, hi):
+            fs.add_frame(seq["images"][i], float(seq["timestamps"][i]))
+
+    fs = full_system.FullSystem(seq["calib"], H, W, cfg)
+    log = TrajectoryLogger()
+    fs.output_wrappers.append(log)
+    feed(fs, 0, 18)
+    assert fs.initialized
+
+    import tempfile, os
+    path = os.path.join(tempfile.mkdtemp(), "ckpt.pkl")
+    fs.save_checkpoint(path)
+    fs2 = full_system.FullSystem.load_checkpoint(path)
+
+    feed(fs, 18, N)
+    feed(fs2, 18, N)
+    t1 = fs.trajectory()
+    t2 = fs2.trajectory()
+    assert len(t1) == len(t2)
+    # Resumed run matches the uninterrupted one closely.
+    ate = trajectory.ate_rmse(t1, t2, with_scale=False)
+    assert ate < 5e-3, ate
+    # Observer chain received poses and a status.
+    assert len(log.poses) > 5
+    assert len(log.statuses) >= 1
