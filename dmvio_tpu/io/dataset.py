@@ -257,11 +257,44 @@ class DatasetReader:
     imu: Optional[np.ndarray] = None       # [M, 7]: ts gx gy gz ax ay az
     gt: Optional[np.ndarray] = None        # [K, 8]: ts x y z qx qy qz qw
     _zip: Optional[zipfile.ZipFile] = None
+    _native = None
+    _native_next: int = -1
 
     def __len__(self):
         return len(self.frames)
 
+    def start_native(self, n_threads: int = 4) -> bool:
+        """Start the C++ prefetch pipeline (decode + photometric +
+        remap on worker threads, overlapped with device compute). Only for
+        sequential folder reads; returns False when unavailable."""
+        from dmvio_tpu.io import native as nat
+
+        if self._zip is not None or not nat.available():
+            return False
+        if any(not fr.image_path.lower().endswith(".png")
+               for fr in self.frames):
+            return False
+        w_in, h_in = self.undist.in_size
+        w_out, h_out = self.undist.out_size
+        gamma = self.undist.gamma_inv
+        vig = self.undist.vignette
+        self._native = nat.NativeLoader(
+            [fr.image_path for fr in self.frames],
+            (w_in, h_in), (w_out, h_out),
+            self.undist.remap_x, self.undist.remap_y,
+            gamma_lut=gamma, vignette=vig, n_threads=n_threads)
+        self._native_next = 0
+        return True
+
     def get_image(self, i: int) -> jnp.ndarray:
+        if self._native is not None and i == self._native_next:
+            img = self._native.next()
+            self._native_next += 1
+            if img is not None:
+                return jnp.asarray(img)
+        return self._get_image_py(i)
+
+    def _get_image_py(self, i: int) -> jnp.ndarray:
         from PIL import Image
         import io as _io
 

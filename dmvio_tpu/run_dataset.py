@@ -34,7 +34,7 @@ def run(argv=None) -> dict:
         ("imuFile", ""), ("tsFile", ""), ("gtFile", ""),
         ("resultsPrefix", "./"), ("settingsFile", ""), ("camchain", ""),
         ("preset", 0), ("nogui", 1), ("quiet", 0), ("useimu", 0),
-        ("maxFrames", -1), ("start", 0),
+        ("maxFrames", -1), ("start", 0), ("nativeLoader", 1),
     ]:
         su.register(name, default)
     cfg = window.Config()
@@ -79,6 +79,9 @@ def run(argv=None) -> dict:
     n = len(reader)
     if su["maxFrames"] > 0:
         n = min(n, su["start"] + su["maxFrames"])
+    if su["nativeLoader"] and su["start"] == 0:
+        if reader.start_native() and not su["quiet"]:
+            print("native prefetch pipeline active")
 
     t_start = time.perf_counter()
     for i in range(su["start"], n):
