@@ -102,6 +102,8 @@ class FullSystem:
         self._n_active = 0.0          # density estimate (lagged one KF)
         self.stats_kf = 0
         self.stats_lost_frames = 0
+        self.stats_resets = 0
+        self._consec_lost = 0
         # Observer chain (reference Output3DWrapper, Output3DWrapper.h:144).
         self.output_wrappers = []
         self._published_status = -1
@@ -196,7 +198,65 @@ class FullSystem:
             with TimeMeasurement("keyframe_total"):
                 self._make_keyframe(pyr, timestamp, fid, R_cw, t_cw, aff_new)
 
+        # Algorithmic self-reset (the reference's fullResetRequested,
+        # main_dmvio_dataset.cpp:262-277): a dead map or sustained loss is
+        # unrecoverable in-window — rebuild from the current frame, keeping
+        # the trajectory so far.
+        self._consec_lost = self._consec_lost + 1 if self.is_lost else 0
+        map_dead = self.initialized and self._n_active < 25 \
+            and self.stats_kf > 3
+        if map_dead or self._consec_lost > 8:
+            self._full_reset(pyr, timestamp, fid)
+
     # ------------------------------------------------------------------
+    def _full_reset(self, pyr, timestamp, fid) -> None:
+        """Rebuild the visual window from the current frame (the reference
+        recreates FullSystem keeping the output wrappers)."""
+        self.stats_resets += 1
+        self._consec_lost = 0
+        self.win = window.Window(self.calib, self.h, self.w, self.cfg)
+        self.imm = immature.empty_pool(self.cfg.i_max)
+        self.initialized = False
+        self.is_lost = False
+        self.tracker_ref = None
+        self.ref_kf_slot = -1
+        self.ref_kf_id = -1
+        self._n_active = 0.0
+        self.track_energy_ref = 1.0
+        self.T_last_ref = (np.eye(3, dtype=np.float32),
+                           np.zeros(3, np.float32))
+        self.motion = (np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+        self.last_rho = 0.0
+        self.last_b = 0.0
+        self.first_id = fid
+        self.init.set_first(pyr)
+        self._first_pyr = pyr
+        self._first_ts = timestamp
+        self.shells[-1] = window.FrameShell(
+            frame_id=fid, timestamp=timestamp, ref_kf_id=fid,
+            R_c_ref=np.eye(3), t_c_ref=np.zeros(3), is_kf=True)
+        if self.imu is not None:
+            # Back to coarse-init collection; metric knowledge (bias, the
+            # last scale estimate) survives as the next init's warm start.
+            imu = self.imu
+            imu.phase = imu_system.COARSE_INIT
+            imu.states = None
+            imu.pairs = []
+            imu.coarse = None
+            imu._init_poses.clear()
+            imu._init_pres.clear()
+            imu._init_fids.clear()
+            imu._init_dts.clear()
+            imu._kf_acc.clear()
+            imu._kf_gyr.clear()
+            imu._kf_dts.clear()
+            imu.kf_since_pgba = 0
+        from dmvio_tpu.io import output_wrapper as ow
+        for w_ in self.output_wrappers:
+            w_.reset()
+            w_.publish_system_status(ow.RESETTING)
+        self._published_status = ow.RESETTING
+
     def _slot_pose(self, slot: int):
         return self.win.frames.R_cw[slot], self.win.frames.t_cw[slot]
 
@@ -257,13 +317,38 @@ class FullSystem:
             # with setting_reTrackThreshold, FullSystem.cpp:320-430).
             if best is not None and best_e < 1.5 * self.track_energy_ref + 0.5:
                 break
+        if best is None and prior is not None:
+            # The IMU-prior joint solve failed on every candidate: the
+            # coarse belief is likely inconsistent (e.g. after a tracking
+            # glitch it dead-reckons without correction). Fall back to
+            # pure-visual tracking and rebuild the belief at the next BA
+            # (the reference's mutual vision/IMU fallback,
+            # FullSystem.cpp:440-445).
+            for (R0, t0) in cand:
+                res, packed = coarse_tracker.track_jit(
+                    self.tracker_ref, pyr, self.calib,
+                    jnp.asarray(R0), jnp.asarray(t0),
+                    jnp.asarray(self.last_rho, jnp.float32),
+                    jnp.asarray(self.last_b, jnp.float32),
+                    levels=self.cfg.levels,
+                )
+                pk = coarse_tracker.PackedTrack(np.asarray(packed),
+                                                self.cfg.levels)
+                e = float(pk.level_energy[0])
+                if pk.valid and e < best_e:
+                    best, best_res, best_e = pk, res, e
+                    break
+            if best is not None:
+                self.imu.coarse = None   # belief reset; BA re-seeds it
         if best is None:
             self.is_lost = True
             self.stats_lost_frames += 1
             best, best_res = pk, res  # keep last attempt (= prediction)
         else:
             self.is_lost = False   # a valid track recovers the system
-            self.track_energy_ref = 0.7 * self.track_energy_ref + 0.3 * best_e
+            # Cap: prior-inflated energies must not poison the ladder gate.
+            self.track_energy_ref = min(
+                0.7 * self.track_energy_ref + 0.3 * best_e, 100.0)
         # Constant-velocity model update (host-side numpy: tiny matrices).
         lR_new = best.R
         lt_new = best.t
@@ -348,6 +433,8 @@ class FullSystem:
 
         with TimeMeasurement("activate"):
             self._activate_points(slot)
+        snap = (w.frames, w.points, w.pair_mask, w.calib,
+                self.imu.states if self.imu is not None else None)
         with TimeMeasurement("ba_optimize"):
             self._run_ba(max_iters=cfg.ba_iters)
         w.frames = window_ops.set_fej_current(w.frames, slot)
@@ -357,10 +444,28 @@ class FullSystem:
         stats_np = np.asarray(window_ops.marg_stats(
             w.frames, w.points, w.pair_mask))
         F = cfg.f_max
-        self._n_active = float(stats_np[4 * F])
+        n_after = float(stats_np[4 * F])
+        if self._n_active > 60 and n_after < max(40.0, 0.15 * self._n_active):
+            # The BA flagged (nearly) the whole map as outliers — that is a
+            # diverged optimization, not a map update. Revert it entirely
+            # (the reference aborts via initFailed/reset in this regime).
+            w.frames, w.points, w.pair_mask, w.calib = snap[:4]
+            if self.imu is not None and snap[4] is not None:
+                self.imu.states = snap[4]
+            self.calib = w.calib
+            w.frames = window_ops.set_fej_current(w.frames, slot)
+            stats_np = np.asarray(window_ops.marg_stats(
+                w.frames, w.points, w.pair_mask))
+            n_after = float(stats_np[4 * F])
+        self._n_active = n_after
         pose_pack = self._record_kf_poses()
         with TimeMeasurement("marginalize"):
             self._marginalize(slot, stats_np)
+        # Post-marginalization density (drives the map-dead reset guard; a
+        # victim hosting most points is a mass extinction the pre-marg
+        # stats cannot see). [1]-shaped to avoid the scalar-fetch path.
+        self._n_active = float(np.asarray(
+            jnp.sum(w.points.mask.astype(jnp.float32))[None])[0])
         with TimeMeasurement("tracker_ref"):
             self._set_tracker_ref(slot, fid, pose_pack)
         with TimeMeasurement("spawn_immatures"):
@@ -380,6 +485,9 @@ class FullSystem:
                 if self.imu.try_initialize(self.kf_poses):
                     self._imu_activate(slot)
             if self.imu.phase == imu_system.ACTIVE:
+                self.imu.maybe_run_pgba(
+                    w.frames, w.slot_frame_id,
+                    active_event_fn=self._active_visual_event)
                 self.imu.reinit_coarse_from_ba(
                     w.frames.R_cw[slot], w.frames.t_cw[slot], slot)
 
@@ -532,8 +640,11 @@ class FullSystem:
                 imu_on=jnp.asarray(True))
             HM_add, bM_add = vio_ba.marginalize_points_ext_jit(
                 vproblem, w.images, marg_pts, F)
-            self.imu.HM = self.imu.HM + np.asarray(HM_add, np.float64)
-            self.imu.bM0 = self.imu.bM0 + np.asarray(bM_add, np.float64)
+            HM_add_np = np.asarray(HM_add, np.float64)
+            bM_add_np = np.asarray(bM_add, np.float64)
+            self.imu.HM = self.imu.HM + HM_add_np
+            self.imu.bM0 = self.imu.bM0 + bM_add_np
+            self._vio_event_quad = (HM_add_np, bM_add_np)
         else:
             HM_add, bM_add = ba.marginalization_update_jit(
                 problem, w.images, marg_pts)
@@ -544,6 +655,7 @@ class FullSystem:
             w.points, pair_rows_cleared, hosted)
         if vio:
             self._vio_marginalize_frames(victims)
+            self._vio_event_quad = None
         else:
             Cv = ba_solve.cdim(F)
             for s_ in victims:
@@ -567,6 +679,37 @@ class FullSystem:
         w.points, w.pair_mask = window_ops.post_ba_update(
             w.points, w.pair_mask, jnp.zeros_like(w.pair_mask))
 
+    def _active_visual_event(self):
+        """The active window's reduced visual system as a quadratic over
+        the current keyframes — getActiveDSOFactor parity
+        (BAGTSAMIntegration.cpp:473-481): marginalize EVERY active point's
+        idepth out of the photometric system at the FEJ states."""
+        from dmvio_tpu.models import delayed as dly
+        w = self.win
+        F = self.cfg.f_max
+        problem = ba.BAProblem(
+            frames=w.frames, points=w.points, calib=w.calib,
+            calib0=w.calib0, HM=jnp.asarray(w.HM, jnp.float32),
+            bM0=jnp.asarray(w.bM0, jnp.float32),
+            prior_diag=w.prior_diag, pair_mask=w.pair_mask)
+        H_add, b_add = ba.marginalization_update_jit(
+            problem, w.images, w.points.mask)
+        H_ext = vio_ba.embed_vis(H_add * vio_ba.W_DSO, F)
+        b_ext = vio_ba.embed_vis(b_add * vio_ba.W_DSO, F)
+        slots = w.slots_by_age()
+        fids = [w.slot_frame_id[s_] for s_ in slots]
+        H_ev, b_ev = self.imu.cext_to_event(
+            np.asarray(H_ext, np.float64), np.asarray(b_ext, np.float64),
+            slots)
+        fej = self.imu.snapshot_kf_states(w.frames, w.slot_frame_id,
+                                          use_fej=True)
+        st_np = jax.device_get((self.imu.states.s_log0,
+                                self.imu.states.g20))
+        return dly.MargEvent(
+            victim=-1, fids=fids, H=H_ev, b0=b_ev,
+            fej={f: fej[f] for f in fids if f in fej},
+            s_log0=float(st_np[0]), g20=np.asarray(st_np[1]))
+
     def _vio_marginalize_frames(self, victims) -> None:
         """Extended-state frame marginalization: fold the victims' IMU pair
         factors and priors into the prior, then Schur out 8+9 coords per
@@ -574,9 +717,27 @@ class FullSystem:
         w = self.win
         imu = self.imu
         F = self.cfg.f_max
+        # Delayed-marginalization log: snapshot what this event absorbs
+        # BEFORE any state is dropped (slots, fej, point quadratic, pairs).
+        ev_slots = w.slots_by_age()
+        ev_slot_fids = list(w.slot_frame_id)
+        ev_quad = getattr(self, "_vio_event_quad", None)
+        C_ext = vio_ba.cdim_ext(F)
+        H_ev = ev_quad[0] if ev_quad is not None else np.zeros(
+            (C_ext, C_ext))
+        b_ev = ev_quad[1] if ev_quad is not None else np.zeros(C_ext)
+        H_ev = H_ev.copy()
+        # Fold the victims' diagonal priors into the event quadratic too.
+        pr_vis0 = np.array(w.prior_diag)
+        pr_imu0 = np.array(imu.prior_diag)
+        for s_ in victims:
+            i0 = ba_solve.CPART + 8 * s_
+            j0 = vio_ba.imu_offset(F, s_)
+            H_ev[np.arange(i0, i0 + 8), np.arange(i0, i0 + 8)] +=                 pr_vis0[i0:i0 + 8] * vio_ba.W_DSO
+            H_ev[np.arange(j0, j0 + 9), np.arange(j0, j0 + 9)] +=                 pr_imu0[j0:j0 + 9]
         # 1) IMU pair factors touching victims -> prior (FEJ + r0).
-        touching = [q for q, (i, j, _) in enumerate(imu.pairs)
-                    if i in victims or j in victims]
+        touching = [q for q, tup in enumerate(imu.pairs)
+                    if tup[0] in victims or tup[1] in victims]
         if touching:
             pairs_dev = imu.device_pairs()
             sel = np.zeros(F - 1, bool)
@@ -588,7 +749,16 @@ class FullSystem:
                 w.calib, w.calib0, F, jnp.asarray(sel))
             imu.HM = imu.HM + np.asarray(HM_add, np.float64)
             imu.bM0 = imu.bM0 + np.asarray(bM_add, np.float64)
-            imu.drop_pairs_touching(list(victims))
+        removed_pairs = imu.drop_pairs_touching(list(victims))
+        slot_fid_map = {sl: ev_slot_fids[sl] for sl in range(F)}
+        for s_ in victims:
+            imu.record_marg_event(
+                ev_slot_fids[s_], ev_slots, ev_slot_fids,
+                H_ev, b_ev, w.frames, removed_pairs, slot_fid_map)
+            # Only the first event carries the quadratic content.
+            H_ev = np.zeros((C_ext, C_ext))
+            b_ev = np.zeros(C_ext)
+            removed_pairs = []
         # 2) Per-victim: diagonal priors into HM, Schur, free the slot.
         Cv = ba_solve.cdim(F)
         for s in victims:

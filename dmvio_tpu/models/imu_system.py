@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dmvio_tpu.models import imu_init, vio_ba, vio_coarse
+from dmvio_tpu.models import delayed, imu_init, pgba, vio_ba, vio_coarse
 from dmvio_tpu.ops import ba_solve, preint
 from dmvio_tpu.utils.timing import TimeMeasurement
 
@@ -99,6 +99,10 @@ class IMUSystem:
         self.last_frame_pre_np: Optional[dict] = None
         self.s_log = 0.0
         self.g2 = np.zeros(2)
+        # Delayed marginalization log + PGBA bookkeeping.
+        self.delayed_log = delayed.DelayedLog(delay=48)
+        self.kf_since_pgba = 0
+        self.best_pgba_var = float("inf")
 
     # -- per-frame ingestion ------------------------------------------------
     def add_frame_imu(self, acc, gyr, dts) -> None:
@@ -332,29 +336,31 @@ class IMUSystem:
 
     # -- keyframe-side ------------------------------------------------------
     def kf_chunk_preint(self):
-        """Preintegrate everything since the last keyframe."""
+        """Preintegrate everything since the last keyframe (device f32 for
+        the window BA + host f64 for the delayed log / PGBA)."""
         if not self._kf_dts:
-            return None
+            return None, None
         acc = np.concatenate(self._kf_acc)
         gyr = np.concatenate(self._kf_gyr)
         dts = np.concatenate(self._kf_dts)
         a, g, d = _pad_chunk(acc, gyr, dts, KF_IMU_CAP)
-        blin = jnp.zeros(6) if self.init_result is None else \
-            jnp.asarray(self.init_result.bias)
-        pre = preint.preintegrate_jit(a, g, d, blin)
+        blin_np = np.zeros(6) if self.init_result is None else \
+            np.asarray(self.init_result.bias)
+        pre = preint.preintegrate_jit(a, g, d, jnp.asarray(blin_np))
+        pre_np = preint.preintegrate_np(acc, gyr, dts, blin_np)
         self._kf_acc.clear()
         self._kf_gyr.clear()
         self._kf_dts.clear()
-        return pre
+        return pre, pre_np
 
     def on_new_keyframe(self, prev_slot: int, new_slot: int,
                         pred_v: Optional[np.ndarray]) -> None:
         """Register the KF-to-KF pair and seed the new slot's states."""
-        pre = self.kf_chunk_preint()
+        pre, pre_np = self.kf_chunk_preint()
         if self.phase != ACTIVE or self.states is None:
             return
         if pre is not None and prev_slot is not None and prev_slot >= 0:
-            self.pairs.append((prev_slot, new_slot, pre))
+            self.pairs.append((prev_slot, new_slot, pre, pre_np))
         st = self.states
         v_new = jnp.asarray(pred_v, jnp.float32) if pred_v is not None \
             else st.v[prev_slot]
@@ -375,7 +381,7 @@ class IMUSystem:
         val = np.zeros(Q, bool)
         for q in range(Q):
             if q < len(self.pairs):
-                i, j, pre = self.pairs[q]
+                i, j, pre = self.pairs[q][:3]
                 iis[q] = i
                 jjs[q] = j
                 val[q] = True
@@ -386,16 +392,17 @@ class IMUSystem:
         return vio_ba.IMUPairs(pre=pre_b, i=jnp.asarray(iis),
                                j=jnp.asarray(jjs), valid=jnp.asarray(val))
 
-    def drop_pairs_touching(self, slots: List[int]) -> List[int]:
-        """Remove pairs that reference marginalized slots; returns the pair
-        indices removed (the caller folds them into the prior FIRST)."""
+    def drop_pairs_touching(self, slots: List[int]):
+        """Remove pairs that reference marginalized slots; returns the
+        removed pair tuples (the caller folds them into the prior FIRST and
+        hands their symbolic form to the delayed log)."""
         keep = []
         removed = []
-        for idx, (i, j, pre) in enumerate(self.pairs):
-            if i in slots or j in slots:
-                removed.append(idx)
+        for tup in self.pairs:
+            if tup[0] in slots or tup[1] in slots:
+                removed.append(tup)
             else:
-                keep.append((i, j, pre))
+                keep.append(tup)
         self.pairs = keep
         return removed
 
@@ -406,6 +413,121 @@ class IMUSystem:
     # would otherwise random-walk into a shrink-the-world runaway.
     SCALE_FIX_WINDOW = 6
     SCALE_FIX_TH = 1.03
+
+
+    # -- delayed marginalization + PGBA ------------------------------------
+    def snapshot_kf_states(self, frames_dev, slot_fids, use_fej=True):
+        """Host KFState dict for occupied slots (ONE device fetch)."""
+        st = self.states
+        if use_fej:
+            pack = jax.device_get((frames_dev.R0_cw, frames_dev.t0_cw,
+                                   frames_dev.aff0, st.v0, st.bg0, st.ba0))
+        else:
+            pack = jax.device_get((frames_dev.R_cw, frames_dev.t_cw,
+                                   frames_dev.aff, st.v, st.bg, st.ba))
+        R, t, aff, v, bg, ba = [np.asarray(x, np.float64) for x in pack]
+        out = {}
+        for slot, fid in enumerate(slot_fids):
+            if fid is not None:
+                out[fid] = delayed.KFState(
+                    R_cw=R[slot].copy(), t_cw=t[slot].copy(),
+                    aff=aff[slot].copy(), v=v[slot].copy(),
+                    bg=bg[slot].copy(), ba=ba[slot].copy())
+        return out
+
+    def cext_to_event(self, H_ext, b_ext, slots):
+        """Remap a C_ext-layout quadratic onto the event layout
+        [s,g2 | per-fid 17] for the given occupied slots (calib coords are
+        dropped: the intrinsics are pinned by a huge prior)."""
+        F = self.f_max
+        Cv = ba_solve.cdim(F)
+        Cg = Cv + 9 * F
+        idx = [Cg, Cg + 1, Cg + 2]
+        for slot in slots:
+            idx.extend(range(ba_solve.CPART + 8 * slot,
+                             ba_solve.CPART + 8 * slot + 8))
+            idx.extend(range(Cv + 9 * slot, Cv + 9 * slot + 9))
+        idx = np.asarray(idx)
+        return (np.asarray(H_ext, np.float64)[np.ix_(idx, idx)],
+                np.asarray(b_ext, np.float64)[idx])
+
+    def record_marg_event(self, victim_fid, slots, slot_fids,
+                          H_ext_add, b_ext_add, frames_dev,
+                          removed_pairs, slot_fid_map) -> None:
+        """Append one marginalization event + the victim's symbolic pairs
+        to the delayed log (DelayedGraph's addMarginalizedPointsBA +
+        marginalization enqueue, DelayedMarginalization.cpp:82)."""
+        if self.phase != ACTIVE or self.states is None:
+            return
+        fej = self.snapshot_kf_states(frames_dev, slot_fids, use_fej=True)
+        fids = [slot_fids[sl] for sl in slots]
+        H_ev, b_ev = self.cext_to_event(H_ext_add, b_ext_add, slots)
+        st_np = jax.device_get((self.states.s_log0, self.states.g20))
+        ev = delayed.MargEvent(
+            victim=victim_fid, fids=fids, H=H_ev, b0=b_ev,
+            fej={f: fej[f] for f in fids if f in fej},
+            s_log0=float(st_np[0]), g20=np.asarray(st_np[1]))
+        sym = []
+        for tup in removed_pairs:
+            i, j = tup[0], tup[1]
+            pre_np = tup[3] if len(tup) > 3 and tup[3] is not None else None
+            fi = slot_fid_map.get(i)
+            fj = slot_fid_map.get(j)
+            if pre_np is not None and fi is not None and fj is not None:
+                sym.append(delayed.SymbolicPair(fid_i=fi, fid_j=fj,
+                                                pre=pre_np))
+        self.delayed_log.record_event(ev, sym)
+
+    def maybe_run_pgba(self, frames_dev, slot_fids,
+                       active_event_fn=None, every: int = 6) -> bool:
+        """Trigger PGBA periodically; adopt its result when the scale
+        marginal improves (threshold-gated transitions,
+        IMUInitializerTransitions.h:62-163)."""
+        if self.phase != ACTIVE or self.states is None:
+            return False
+        self.kf_since_pgba += 1
+        if self.kf_since_pgba < every or len(self.delayed_log.events) < 8:
+            return False
+        self.kf_since_pgba = 0
+        with TimeMeasurement("pgba"):
+            win = self.snapshot_kf_states(frames_dev, slot_fids,
+                                          use_fej=False)
+            active_event = (active_event_fn()
+                            if active_event_fn is not None else None)
+            st_np = jax.device_get((self.states.s_log, self.states.g2))
+            res = pgba.run(self.delayed_log, win, active_event,
+                           float(st_np[0]), np.asarray(st_np[1]))
+        if res is None or not res.ok:
+            return False
+        # Absolute quality gate first (a PGBA over dozens of keyframes must
+        # constrain scale tightly), then require improvement over the best.
+        if not (res.s_var < 0.05 and res.s_var < self.best_pgba_var * 0.9):
+            return False
+        self.best_pgba_var = res.s_var
+        # Adopt scale/gravity (prior centers move with the FEJ mirrors) and
+        # refresh current-window velocities/biases.
+        stx = self.states
+        v = np.array(jax.device_get(stx.v))
+        bg = np.array(jax.device_get(stx.bg))
+        ba_ = np.array(jax.device_get(stx.ba))
+        for slot, fid in enumerate(slot_fids):
+            if fid is not None and fid in res.states:
+                v[slot] = res.states[fid].v
+                bg[slot] = res.states[fid].bg
+                ba_[slot] = res.states[fid].ba
+        self.states = stx._replace(
+            s_log=jnp.asarray(res.s_log, jnp.float32),
+            s_log0=jnp.asarray(res.s_log, jnp.float32),
+            g2=jnp.asarray(res.g2, jnp.float32),
+            g20=jnp.asarray(res.g2, jnp.float32),
+            v=jnp.asarray(v, jnp.float32), v0=jnp.asarray(v, jnp.float32),
+            bg=jnp.asarray(bg, jnp.float32),
+            bg0=jnp.asarray(bg, jnp.float32),
+            ba=jnp.asarray(ba_, jnp.float32),
+            ba0=jnp.asarray(ba_, jnp.float32))
+        self.s_log = float(res.s_log)
+        self.g2 = np.asarray(res.g2)
+        return True
 
     def reinit_coarse_from_ba(self, R_cw, t_cw, slot: int) -> None:
         """BA -> coarse handoff after each keyframe optimization

@@ -286,9 +286,10 @@ def activate_and_admit(pool: ImmaturePoints, frames: BAFrames,
         1e-3, 50.0)
     tight = (pool.idepth_max - pool.idepth_min) < \
         jnp.maximum(0.25 * d_mid, 0.05)
+    q_th = MIN_TRACE_QUALITY
     cand = pool.mask & jnp.isin(
         pool.status, jnp.asarray([IPS_GOOD, IPS_SKIPPED])) & \
-        (pool.quality > MIN_TRACE_QUALITY) & tight & (d_mid > 1e-3)
+        (pool.quality > q_th) & tight & (d_mid > 1e-3)
     cu, cv, _, cvalid = project_into(
         frames, pool.host, pool.u, pool.v, d_mid, calib, slot)
     if use_spacing:
