@@ -46,6 +46,14 @@ from dmvio_tpu.utils.camera import Calib
 # Mahalanobis-normalized system: the IMU factors then warp the map freely.)
 W_DSO = 1.0 / 64.0
 
+# Dynamic photometric weight threshold: when the photometric RMSE exceeds
+# this (intensity units), the visual system is down-weighted by
+# (thresh/rmse)^2 — a threshold robust cost over the whole DSO factor
+# (computeDynamicDSOWeight, BAIMULogic.cpp:801-808; applied via
+# computeDSOWeight, BAGTSAMIntegration.cpp:521-524; rmse =
+# sqrt(E/(patternNum*resInA)), FullSystemOptimize.cpp:537).
+DYN_RMSE_TH = 8.0
+
 
 def cdim_ext(F: int) -> int:
     return cdim(F) + 9 * F + 3
@@ -284,6 +292,8 @@ class VIOResult(NamedTuple):
     iters: jnp.ndarray
     pair_outlier: jnp.ndarray
     pair_energy: jnp.ndarray
+    vis_rmse: jnp.ndarray     # photometric RMSE at solve entry
+    dyn_weight: jnp.ndarray   # dynamic DSO weight applied (<=1)
 
 
 def optimize(problem: VIOProblem, images: jnp.ndarray,
@@ -313,7 +323,7 @@ def optimize(problem: VIOProblem, images: jnp.ndarray,
             frames._replace(R0_cw=frames.R_cw, t0_cw=frames.t_cw),
             states, problem.pairs, problem.R_cb, problem.t_cb, F)
         e_imu = jnp.where(problem.imu_on, e_imu, 0.0)
-        return w_dso * jnp.sum(lin.energy) + e_imu + e_m + e_p, e_imu
+        return w_eff * jnp.sum(lin.energy) + e_imu + e_m + e_p, e_imu
 
     class _St(NamedTuple):
         frames: BAFrames
@@ -328,6 +338,14 @@ def optimize(problem: VIOProblem, images: jnp.ndarray,
         done: jnp.ndarray
 
     lin0 = lin_vis(base.frames, base.points, base.calib)
+    # Dynamic photometric weight from the initial linearization: a bad
+    # visual epoch (motion blur, occlusion) must not out-shout the IMU.
+    # Fixed for the whole solve so the LM objective stays consistent.
+    n_px = jnp.maximum(jnp.sum(lin0.active.astype(jnp.float32)), 1.0)
+    rmse0 = jnp.sqrt(jnp.sum(lin0.energy) / n_px)
+    dyn = jnp.where(rmse0 > DYN_RMSE_TH,
+                    (DYN_RMSE_TH / jnp.maximum(rmse0, 1e-6)) ** 2, 1.0)
+    w_eff = w_dso * jnp.where(problem.imu_on, dyn, 1.0)
     e0, ei0 = energies(base.frames, base.points, base.calib, problem.states,
                        lin0)
     st0 = _St(base.frames, base.points, base.calib, problem.states, lin0,
@@ -346,8 +364,8 @@ def optimize(problem: VIOProblem, images: jnp.ndarray,
         Hdd_inv = jnp.where(st.points.mask, 1.0 / Hdd, 0.0)
         H_sc = sys_v.H_fd.T @ (sys_v.H_fd * Hdd_inv[:, None])
         b_sc = sys_v.H_fd.T @ (sys_v.b_d * Hdd_inv)
-        H_vis = (sys_v.H - H_sc) * w_dso
-        b_vis = (sys_v.b - b_sc) * w_dso
+        H_vis = (sys_v.H - H_sc) * w_eff
+        b_vis = (sys_v.b - b_sc) * w_eff
 
         fr_cur, st_cur = at_current(st.frames, st.states)
         rows, r_imu, _ = imu_factor_system(
@@ -423,6 +441,7 @@ def optimize(problem: VIOProblem, images: jnp.ndarray,
         states=out.states, energy=jnp.sum(out.lin.energy),
         imu_energy=out.imu_energy, iters=out.it,
         pair_outlier=outlier, pair_energy=out.lin.energy,
+        vis_rmse=rmse0, dyn_weight=dyn,
     )
 
 

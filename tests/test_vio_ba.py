@@ -258,3 +258,22 @@ def test_vio_off_behaves_like_visual(vio_problem):
     np.testing.assert_allclose(np.asarray(res.states.v),
                                np.asarray(problem.states.v), atol=1e-6)
     assert float(res.energy) < 2000.0
+
+
+def test_dynamic_dso_weight(vio_problem):
+    """Threshold robust weighting of the whole photometric factor
+    (computeDynamicDSOWeight, BAIMULogic.cpp:801-808): clean images sit
+    below the 8-intensity RMSE threshold (weight 1); corrupted images
+    must be down-weighted by (8/rmse)^2."""
+    problem, images, v_gt, p_gt, R_gt_body = vio_problem
+    res = vio_ba.optimize_jit(problem, images, max_iters=2)
+    assert float(res.dyn_weight) == 1.0, float(res.vis_rmse)
+
+    rng = np.random.default_rng(0)
+    bad = images + jnp.asarray(
+        rng.normal(0, 40.0, np.shape(images)), jnp.float32)
+    res_bad = vio_ba.optimize_jit(problem, bad, max_iters=2)
+    rmse = float(res_bad.vis_rmse)
+    assert rmse > vio_ba.DYN_RMSE_TH, rmse
+    np.testing.assert_allclose(float(res_bad.dyn_weight),
+                               (vio_ba.DYN_RMSE_TH / rmse) ** 2, rtol=1e-5)
