@@ -159,6 +159,100 @@ class DelayedLog:
         self.tail_s0 = ev.s_log0
         self.tail_g20 = np.asarray(ev.g20)
 
+    # -- marginalization replacement ---------------------------------------
+    def rebuild_prior(self, window_fids: List[int],
+                      target_fej: Dict[int, "KFState"],
+                      relin: Dict[int, "KFState"],
+                      s_log: float, g2: np.ndarray):
+        """Re-derive the main marginalization prior from the full logged
+        history at a better linearization point — the reference's
+        marginalization replacement (prepareGraphForMainOptimization
+        readvances the delayed graph to delay 0 and swaps it in as the main
+        graph, PoseGraphBundleAdjustment.cpp:508;
+        DelayedMarginalization.cpp:212-264).
+
+        window_fids: keyframes that stay as free variables (current window).
+        target_fej:  their linearization states (the window's FEJ) — the
+                     returned prior's gradient is expressed there.
+        relin:       refined states (PGBA result) used to (re)linearize the
+                     symbolic IMU pairs and as the elimination point for
+                     retired keyframes.
+        s_log, g2:   adopted global values = the new global FEJ.
+
+        Returns (H, b0) over [s, g2 | window_fids x 17] (float64), or None
+        when the log cannot cover the window."""
+        fids = list(dict.fromkeys(
+            self.tail_fids
+            + [f for ev in self.events for f in ev.fids]
+            + [f for p in self.pairs for f in (p.fid_i, p.fid_j)]
+            + list(window_fids)))
+        off = self._coords(fids)
+        C = GDIM + len(fids) * KDIM
+        H = np.zeros((C, C))
+        b = np.zeros(C)
+
+        # Elimination/relinearization point: refined states everywhere we
+        # have them; window FEJ for window fids; event fej as fallback.
+        point: Dict[int, KFState] = {}
+        for ev in self.events:
+            for f, st in ev.fej.items():
+                point.setdefault(f, st)
+        for f, st in self.tail_fej.items():
+            point.setdefault(f, st)
+        point.update(relin)
+        for f in window_fids:
+            if f in target_fej:
+                point[f] = target_fej[f]
+        if any(f not in point for f in fids):
+            return None
+
+        def scatter(Hs, bs, src_fids, src_fej, src_s0, src_g20):
+            src_off = {f: GDIM + k * KDIM for k, f in enumerate(src_fids)}
+            idx = np.concatenate(
+                [np.arange(GDIM)] +
+                [off[f] + np.arange(KDIM) for f in src_fids])
+            sidx = np.concatenate(
+                [np.arange(GDIM)] +
+                [src_off[f] + np.arange(KDIM) for f in src_fids])
+            Hsub = Hs[np.ix_(sidx, sidx)]
+            delta = np.zeros(len(sidx))
+            delta[0] = s_log - src_s0
+            delta[1:3] = np.asarray(g2) - np.asarray(src_g20)
+            for k, f in enumerate(src_fids):
+                if f in src_fej:
+                    delta[GDIM + k * KDIM: GDIM + (k + 1) * KDIM] = \
+                        _state_delta(point[f], src_fej[f])
+            H[np.ix_(idx, idx)] += Hsub
+            b[idx] += bs[sidx] + Hsub @ delta
+
+        if self.tail_H is not None:
+            scatter(self.tail_H, self.tail_b0, self.tail_fids,
+                    self.tail_fej, self.tail_s0, self.tail_g20)
+        for ev in self.events:
+            scatter(ev.H, ev.b0, ev.fids, ev.fej, ev.s_log0, ev.g20)
+        # Relinearize every logged IMU pair at the refined states — the
+        # whole point of the delay: these factors re-enter the prior with
+        # Jacobians at the adopted scale/gravity.
+        for p in self.pairs:
+            Hp, bp, idx = _linearize_pair(p, point, off, s_log,
+                                          np.asarray(g2))
+            H[np.ix_(idx, idx)] += Hp
+            b[idx] += bp
+
+        # Eliminate everything outside the window in one Schur step.
+        from dmvio_tpu.models.vio_ba import schur_out_np
+
+        gone = [f for f in fids if f not in window_fids]
+        if gone:
+            m = np.zeros(C, bool)
+            for f in gone:
+                m[off[f] + np.arange(KDIM)] = True
+            H, b = schur_out_np(H, b, m)
+        kidx = np.concatenate(
+            [np.arange(GDIM)] +
+            [off[f] + np.arange(KDIM) for f in window_fids])
+        return H[np.ix_(kidx, kidx)], b[kidx]
+
     # -- queries -----------------------------------------------------------
     def delayed_fids(self) -> List[int]:
         """All keyframe ids with un-marginalized (replayable) state,

@@ -514,6 +514,9 @@ class FullSystem:
         imu.HM[:Cv, :Cv] = w.HM * vio_ba.W_DSO
         imu.bM0 = np.zeros((C,), np.float64)
         imu.bM0[:Cv] = w.bM0 * vio_ba.W_DSO
+        # The activation prior seeds the delayed log so a marginalization
+        # replacement can re-derive the FULL main prior later.
+        imu.record_base_event(w.frames, w.slot_frame_id)
         imu.reinit_coarse_from_ba(
             w.frames.R_cw[newest_slot], w.frames.t_cw[newest_slot],
             newest_slot)

@@ -435,10 +435,9 @@ class IMUSystem:
                     bg=bg[slot].copy(), ba=ba[slot].copy())
         return out
 
-    def cext_to_event(self, H_ext, b_ext, slots):
-        """Remap a C_ext-layout quadratic onto the event layout
-        [s,g2 | per-fid 17] for the given occupied slots (calib coords are
-        dropped: the intrinsics are pinned by a huge prior)."""
+    def event_idx(self, slots) -> np.ndarray:
+        """C_ext indices of the event layout [s,g2 | per-slot 17] (calib
+        coords are dropped: the intrinsics are pinned by a huge prior)."""
         F = self.f_max
         Cv = ba_solve.cdim(F)
         Cg = Cv + 9 * F
@@ -447,9 +446,59 @@ class IMUSystem:
             idx.extend(range(ba_solve.CPART + 8 * slot,
                              ba_solve.CPART + 8 * slot + 8))
             idx.extend(range(Cv + 9 * slot, Cv + 9 * slot + 9))
-        idx = np.asarray(idx)
+        return np.asarray(idx)
+
+    def cext_to_event(self, H_ext, b_ext, slots):
+        """Remap a C_ext-layout quadratic onto the event layout."""
+        idx = self.event_idx(slots)
         return (np.asarray(H_ext, np.float64)[np.ix_(idx, idx)],
                 np.asarray(b_ext, np.float64)[idx])
+
+    def record_base_event(self, frames_dev, slot_fids) -> None:
+        """Log the activation-time prior as the delayed log's base
+        quadratic (victim-less event), so a later marginalization
+        replacement can re-derive the COMPLETE main prior from the log
+        (the reference's delayed graph receives every factor group the
+        main graph does, DelayedMarginalization.h factor groups)."""
+        if self.phase != ACTIVE or self.states is None:
+            return
+        slots = [s for s, f in enumerate(slot_fids) if f is not None]
+        fids = [slot_fids[s] for s in slots]
+        H_ev, b_ev = self.cext_to_event(self.HM, self.bM0, slots)
+        fej = self.snapshot_kf_states(frames_dev, slot_fids, use_fej=True)
+        st_np = jax.device_get((self.states.s_log0, self.states.g20))
+        self.delayed_log.record_event(delayed.MargEvent(
+            victim=-1, fids=fids, H=H_ev, b0=b_ev,
+            fej={f: fej[f] for f in fids if f in fej},
+            s_log0=float(st_np[0]), g20=np.asarray(st_np[1])), [])
+
+    def replace_prior_from_log(self, frames_dev, slot_fids, res) -> bool:
+        """Marginalization replacement: swap the main prior for one
+        re-derived from the delayed log at the PGBA-refined linearization
+        point (prepareGraphForMainOptimization,
+        PoseGraphBundleAdjustment.cpp:508)."""
+        F = self.f_max
+        slots = [s for s, f in enumerate(slot_fids) if f is not None]
+        window_fids = [slot_fids[s] for s in slots]
+        target = self.snapshot_kf_states(frames_dev, slot_fids,
+                                         use_fej=True)
+        out = self.delayed_log.rebuild_prior(
+            window_fids, target, res.states, res.s_log,
+            np.asarray(res.g2))
+        if out is None:
+            return False
+        H_ev, b_ev = out
+        if not (np.all(np.isfinite(H_ev)) and np.all(np.isfinite(b_ev))):
+            return False
+        C = vio_ba.cdim_ext(F)
+        HM = np.zeros((C, C), np.float64)
+        bM = np.zeros(C, np.float64)
+        idx = self.event_idx(slots)
+        HM[np.ix_(idx, idx)] = H_ev
+        bM[idx] = b_ev
+        self.HM = HM
+        self.bM0 = bM
+        return True
 
     def record_marg_event(self, victim_fid, slots, slot_fids,
                           H_ext_add, b_ext_add, frames_dev,
@@ -527,6 +576,10 @@ class IMUSystem:
             ba0=jnp.asarray(ba_, jnp.float32))
         self.s_log = float(res.s_log)
         self.g2 = np.asarray(res.g2)
+        # Marginalization replacement: the old prior carries information
+        # linearized at the pre-PGBA scale/gravity; re-derive it from the
+        # delayed log at the adopted values.
+        self.replace_prior_from_log(frames_dev, slot_fids, res)
         return True
 
     def reinit_coarse_from_ba(self, R_cw, t_cw, slot: int) -> None:

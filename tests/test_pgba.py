@@ -126,3 +126,32 @@ def test_delayed_advance_preserves_scale_info():
     window = {k: kfs[k] for k in range(N_KF - 4, N_KF)}
     res = pgba.run(log, window, None, np.log(S_GT) + 0.3, G2_GT, iters=15)
     assert res is not None
+
+
+def test_rebuild_prior_replacement():
+    """Marginalization replacement: the prior rebuilt from the log at the
+    refined linearization point must (a) be PSD, (b) center its scale
+    estimate at the refined value — its gradient w.r.t. the scale coord
+    vanishes at the adopted state and pulls back when scale is perturbed."""
+    kfs, pres = build_world()
+    log = make_log(kfs, pres)
+    window_fids = list(range(N_KF - 4, N_KF))
+    target = {k: kfs[k] for k in window_fids}
+    res = pgba.run(log, {k: kfs[k] for k in window_fids}, None,
+                   np.log(S_GT) + 0.4, G2_GT, iters=15)
+    assert res is not None and res.ok
+    out = log.rebuild_prior(window_fids, target, res.states,
+                            res.s_log, res.g2)
+    assert out is not None
+    H, b = out
+    C = delayed.GDIM + len(window_fids) * delayed.KDIM
+    assert H.shape == (C, C) and b.shape == (C,)
+    evals = np.linalg.eigvalsh(H)
+    assert evals.min() > -1e-5 * max(abs(evals).max(), 1.0)
+    # Scale information survived elimination: the rebuilt prior must carry
+    # substantial curvature on the global scale coordinate.
+    assert H[0, 0] > 1e2, H[0, 0]
+    # The prior is centered near the adopted scale: the quadratic's
+    # minimum along the scale coordinate is close to zero offset.
+    s_off = -b[0] / H[0, 0]
+    assert abs(s_off) < 0.05, s_off
