@@ -129,6 +129,8 @@ class _LMState(NamedTuple):
     lam: jnp.ndarray
     energy: jnp.ndarray     # mean energy at current accepted state
     terms: jnp.ndarray
+    H: jnp.ndarray          # [8,8] GN system at the current state
+    b: jnp.ndarray          # [8]
     cutoff_mult: jnp.ndarray
     it: jnp.ndarray
     done: jnp.ndarray
@@ -148,42 +150,43 @@ def _track_level(
     v0=None, bias0=None,
 ):
     """LM on one pyramid level, fully on-device; optionally fused with a
-    17-dof Gaussian prior (IMU-aided tracking)."""
+    17-dof Gaussian prior (IMU-aided tracking).
+
+    ONE gather pass per LM iteration: the trial evaluation computes the GN
+    system alongside the energy, so an accepted step's H/b are reused for
+    the next solve instead of re-sampling (the reference re-runs calcRes +
+    calcGSSSE separately each iteration, CoarseTracker.cpp:599-664 — on TPU
+    the image-sampling pass dominates, so halving the passes nearly halves
+    tracker latency)."""
     z3 = jnp.zeros(3) if v0 is None else v0
     z6 = jnp.zeros(6) if bias0 is None else bias0
 
-    def mean_energy(R, t, rho, b, v, bias, cmult, terms_hint):
-        e, n, _ = align.calc_energy(
+    def eval_state(R, t, rho, b, v, bias, cmult, terms_hint):
+        """One fused pass: GN system + mean energy at (R, t, rho, b)."""
+        H, bvec, stats = align.calc_res_and_gs(
             tgt_level, calib_l, pc, R, t, jnp.exp(rho), b,
             HUBER_TH, CUTOFF_TH, cmult,
         )
-        em = e / jnp.maximum(n, 1.0)
+        n = stats.num_terms
+        em = stats.energy / jnp.maximum(n, 1.0)
         if prior is not None:
             # Prior energy rescaled into mean-photometric units (the joint
-            # system is solved in mean units; see body()).
+            # system is solved in mean units; see the solve below).
             d = _prior_delta(prior, R, t, rho, b, v, bias)
-            scale = 1.0 / (W_PHOTO * jnp.maximum(terms_hint, 1.0))
+            hint = n if terms_hint is None else terms_hint
+            scale = 1.0 / (W_PHOTO * jnp.maximum(hint, 1.0))
             em = em + (d @ (prior.H @ d)) * scale
-        return em, n
-
-    def sat_ratio(R, t, rho, b, cmult):
-        _, n, s = align.calc_energy(
-            tgt_level, calib_l, pc, R, t, jnp.exp(rho), b,
-            HUBER_TH, CUTOFF_TH, cmult,
-        )
-        return s / jnp.maximum(n + s, 1.0)
+        return H, bvec, em, n
 
     # Cutoff escalation (reference levelCutoffRepeat): double the cutoff
-    # until <60% of terms saturate (bounded unroll of 3, as in practice).
-    cmult = jnp.array(1.0, jnp.float32)
-    for _ in range(3):
-        ratio = sat_ratio(R0, t0, rho0, b0, cmult)
-        cmult = jnp.where(ratio > 0.6, cmult * 2.0, cmult)
+    # until <60% of terms saturate — all ratios from one sampling pass.
+    ratios = align.calc_sat_profile(
+        tgt_level, calib_l, pc, R0, t0, jnp.exp(rho0), b0, CUTOFF_TH)
+    cmult = jnp.where(ratios[0] <= 0.6, 1.0,
+                      jnp.where(ratios[1] <= 0.6, 2.0,
+                                jnp.where(ratios[2] <= 0.6, 4.0, 8.0)))
 
-    _, n_probe, _ = align.calc_energy(
-        tgt_level, calib_l, pc, R0, t0, jnp.exp(rho0), b0,
-        HUBER_TH, CUTOFF_TH, cmult)
-    e0, n0 = mean_energy(R0, t0, rho0, b0, z3, z6, cmult, n_probe)
+    H0, b0_vec, e0, n0 = eval_state(R0, t0, rho0, b0, z3, z6, cmult, None)
     # A level with almost no valid terms cannot produce a trustworthy step
     # — skip it entirely rather than corrupt a good initialization (the
     # reference repeats a level only when enough terms saturate but always
@@ -191,6 +194,7 @@ def _track_level(
     init = _LMState(
         R=R0, t=t0, rho=rho0, b_aff=b0, v=z3, bias=z6,
         lam=jnp.array(0.01, jnp.float32), energy=e0, terms=n0,
+        H=H0, b=b0_vec,
         cutoff_mult=cmult, it=jnp.array(0, jnp.int32),
         done=n0 < 20.0,
     )
@@ -199,13 +203,9 @@ def _track_level(
         return (st.it < max_it) & (~st.done)
 
     def body(st: _LMState):
-        H, b, _ = align.calc_res_and_gs(
-            tgt_level, calib_l, pc, st.R, st.t, jnp.exp(st.rho), st.b_aff,
-            HUBER_TH, CUTOFF_TH, st.cutoff_mult,
-        )
         nrm = jnp.maximum(st.terms, 1.0)
-        Hs = H / nrm
-        bs = b / nrm
+        Hs = st.H / nrm
+        bs = st.b / nrm
         reg = jnp.array([0, 0, 0, 0, 0, 0, PRIOR_RHO, PRIOR_B], Hs.dtype)
         Hs = Hs + jnp.diag(reg)
         bs = bs + reg * jnp.array(
@@ -243,20 +243,24 @@ def _track_level(
         bn = jnp.clip(st.b_aff + step8[7], -80.0, 80.0)
         vn = st.v + step_v
         biasn = st.bias + step_b
-        en, nn = mean_energy(Rn, tn, rhon, bn, vn, biasn, st.cutoff_mult,
-                             st.terms)
+        Hn, bn_vec, en, nn = eval_state(Rn, tn, rhon, bn, vn, biasn,
+                                        st.cutoff_mult, st.terms)
         accept = (en < st.energy) & jnp.isfinite(en)
         small = jnp.sum(step8 * step8) < 1e-12
+        sel = lambda a, o: jnp.where(accept, a, o)
         return _LMState(
-            R=jnp.where(accept, Rn, st.R),
-            t=jnp.where(accept, tn, st.t),
-            rho=jnp.where(accept, rhon, st.rho),
-            b_aff=jnp.where(accept, bn, st.b_aff),
-            v=jnp.where(accept, vn, st.v),
-            bias=jnp.where(accept, biasn, st.bias),
-            lam=jnp.where(accept, jnp.maximum(st.lam * 0.25, 1e-6), st.lam * 4.0),
-            energy=jnp.where(accept, en, st.energy),
-            terms=jnp.where(accept, nn, st.terms),
+            R=sel(Rn, st.R),
+            t=sel(tn, st.t),
+            rho=sel(rhon, st.rho),
+            b_aff=sel(bn, st.b_aff),
+            v=sel(vn, st.v),
+            bias=sel(biasn, st.bias),
+            lam=jnp.where(accept, jnp.maximum(st.lam * 0.25, 1e-6),
+                          st.lam * 4.0),
+            energy=sel(en, st.energy),
+            terms=sel(nn, st.terms),
+            H=sel(Hn, st.H),
+            b=sel(bn_vec, st.b),
             cutoff_mult=st.cutoff_mult,
             it=st.it + 1,
             done=small | (st.lam > 1e4),
@@ -347,6 +351,60 @@ def track(
 track_jit = jax.jit(track, static_argnames="levels")
 
 
+def track_multi(
+    ref: TrackerRef,
+    new_pyr,
+    calib0: Calib,
+    R_cands: jnp.ndarray,      # [C, 3, 3] candidate initializations
+    t_cands: jnp.ndarray,      # [C, 3]
+    cand_mask: jnp.ndarray,    # [C] bool
+    rho_init: jnp.ndarray,
+    b_init: jnp.ndarray,
+    energy_gate: jnp.ndarray,  # scalar: "good enough" mean energy
+    levels: int = PYR_LEVELS,
+    prior: CoarsePrior | None = None,
+    v_init: jnp.ndarray | None = None,
+    bias_init: jnp.ndarray | None = None,
+):
+    """Track EVERY candidate initialization in one program and select the
+    winner on device.
+
+    The reference tries candidates sequentially and stops at the first
+    good-enough one (trackNewCoarse ladder, FullSystem.cpp:320-430). On TPU
+    a sequential ladder costs one tunnel round trip per rung; batching the
+    rungs costs almost nothing extra (the per-iteration kernels are
+    latency-bound at this point count) and needs ONE sync. Selection
+    mirrors the ladder: the first candidate beating `energy_gate` wins,
+    else the best valid candidate by finest-level energy.
+
+    Returns (TrackResult sliced at the winner, packed [D+2]) where the two
+    extra slots carry (winner index, any-valid flag).
+    """
+
+    def one(R0, t0):
+        return track(ref, new_pyr, calib0, R0, t0, rho_init, b_init,
+                     levels, prior, v_init, bias_init)
+
+    res, packed = jax.vmap(one)(R_cands, t_cands)     # packed [C, D]
+    L = levels
+    e0 = packed[:, 25]
+    validc = (packed[:, 25 + 2 * L] > 0.5) & cand_mask
+    e_eff = jnp.where(validc, e0, jnp.inf)
+    passes = validc & (e0 < energy_gate)
+    sel = jnp.where(jnp.any(passes), jnp.argmax(passes),
+                    jnp.argmin(e_eff))
+    sel_res = jax.tree_util.tree_map(lambda x: x[sel], res)
+    sel_packed = jnp.concatenate([
+        packed[sel],
+        jnp.asarray(sel, jnp.float32)[None],
+        jnp.any(validc).astype(jnp.float32)[None],
+    ])
+    return sel_res, sel_packed
+
+
+track_multi_jit = jax.jit(track_multi, static_argnames="levels")
+
+
 class PackedTrack:
     """Host-side view of the packed tracker stats array."""
 
@@ -367,3 +425,10 @@ class PackedTrack:
         self.level_terms = a[25 + L:25 + 2 * L]
         self.valid = a[25 + 2 * L] > 0.5
         self.H_vis = a[26 + 2 * L:26 + 2 * L + 64].reshape(8, 8)
+        # track_multi appends (winner index, any-valid); absent otherwise.
+        if a.shape[0] >= 26 + 2 * L + 64 + 2:
+            self.sel = int(a[26 + 2 * L + 64])
+            self.any_valid = a[26 + 2 * L + 64 + 1] > 0.5
+        else:
+            self.sel = 0
+            self.any_valid = self.valid

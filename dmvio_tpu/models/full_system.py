@@ -264,20 +264,27 @@ class FullSystem:
         """Coarse tracking with constant-velocity prediction + fallbacks
         (reference trackNewCoarse pose-candidate ladder, FullSystem.cpp:320).
 
-        ONE device sync on the common path: the whole TrackResult is pulled
-        with a single device_get (tunnel latency dominates per-frame cost on
-        TPU — every avoided round trip counts); fallback candidates only
-        run when the first attempt tracks poorly.
+        The whole candidate ladder runs as ONE vmapped program with
+        on-device selection, so the common path costs exactly one device
+        sync (each sync is a full tunnel round trip); the visual-only
+        fallback dispatch only fires when the IMU-prior solve failed on
+        every candidate.
         """
         mR, mt = self.motion
         lR, lt = self.T_last_ref
-        cand = [
-            (mR @ lR, mR @ lt + mt),                         # const velocity
-            (lR, lt),                                        # zero motion
-            (np.eye(3, dtype=np.float32), np.zeros(3, np.float32)),
-        ]
-        # IMU-aided path: the predicted pose leads the candidate ladder and
-        # a 17-dof prior joins every LM solve (computeCoarseUpdate).
+        # Fixed candidate batch [4]: (imu-prediction | const-velocity,
+        # zero-motion, identity). A masked fixed shape avoids recompiles
+        # when the IMU prediction is unavailable.
+        R_c = np.zeros((4, 3, 3), np.float32)
+        t_c = np.zeros((4, 3), np.float32)
+        mask_c = np.zeros(4, bool)
+        R_c[0] = np.eye(3)
+        R_c[1] = mR @ lR
+        t_c[1] = mR @ lt + mt
+        R_c[2] = lR
+        t_c[2] = lt
+        R_c[3] = np.eye(3)
+        mask_c[1:] = True
         prior = None
         v_init = None
         bias_init = None
@@ -287,63 +294,45 @@ class FullSystem:
                 R_ref, t_ref = self.ref_pose_np
                 R_rel = pred.R_cw @ np.asarray(R_ref, np.float64).T
                 t_rel = pred.t_cw - R_rel @ np.asarray(t_ref, np.float64)
-                cand.insert(0, (R_rel.astype(np.float32),
-                                t_rel.astype(np.float32)))
+                R_c[0] = R_rel.astype(np.float32)
+                t_c[0] = t_rel.astype(np.float32)
+                mask_c[0] = True
                 prior = self.imu.coarse_prior(R_ref, t_ref,
                                               self.last_rho, self.last_b)
                 v_init = jnp.asarray(pred.v, jnp.float32)
                 bias_init = jnp.asarray(pred.bias, jnp.float32)
-        best = None
-        best_res = None
-        best_e = float("inf")
-        for (R0, t0) in cand:
-            res, packed = coarse_tracker.track_jit(
-                self.tracker_ref, pyr, self.calib,
-                jnp.asarray(R0), jnp.asarray(t0),
+        gate = 1.5 * self.track_energy_ref + 0.5
+        args = (self.tracker_ref, pyr, self.calib,
+                jnp.asarray(R_c), jnp.asarray(t_c), jnp.asarray(mask_c),
                 jnp.asarray(self.last_rho, jnp.float32),
                 jnp.asarray(self.last_b, jnp.float32),
-                levels=self.cfg.levels,
-                prior=prior, v_init=v_init, bias_init=bias_init,
-            )
-            # ONE small-array fetch carries every stat the host needs
-            # (scalar fetches cost ~400 ms through the tunnel).
-            pk = coarse_tracker.PackedTrack(np.asarray(packed),
-                                            self.cfg.levels)
-            e = float(pk.level_energy[0])
-            if pk.valid and e < best_e:
-                best, best_res, best_e = pk, res, e
-            # Good enough relative to recent tracking quality -> stop
-            # trying further initializations (reference achievedRes ladder
-            # with setting_reTrackThreshold, FullSystem.cpp:320-430).
-            if best is not None and best_e < 1.5 * self.track_energy_ref + 0.5:
-                break
-        if best is None and prior is not None:
+                jnp.asarray(gate, jnp.float32))
+        res, packed = coarse_tracker.track_multi_jit(
+            *args, levels=self.cfg.levels,
+            prior=prior, v_init=v_init, bias_init=bias_init)
+        # ONE small-array fetch carries every stat the host needs.
+        pk = coarse_tracker.PackedTrack(jax.device_get(packed),
+                                        self.cfg.levels)
+        if not pk.any_valid and prior is not None:
             # The IMU-prior joint solve failed on every candidate: the
             # coarse belief is likely inconsistent (e.g. after a tracking
             # glitch it dead-reckons without correction). Fall back to
             # pure-visual tracking and rebuild the belief at the next BA
             # (the reference's mutual vision/IMU fallback,
             # FullSystem.cpp:440-445).
-            for (R0, t0) in cand:
-                res, packed = coarse_tracker.track_jit(
-                    self.tracker_ref, pyr, self.calib,
-                    jnp.asarray(R0), jnp.asarray(t0),
-                    jnp.asarray(self.last_rho, jnp.float32),
-                    jnp.asarray(self.last_b, jnp.float32),
-                    levels=self.cfg.levels,
-                )
-                pk = coarse_tracker.PackedTrack(np.asarray(packed),
-                                                self.cfg.levels)
-                e = float(pk.level_energy[0])
-                if pk.valid and e < best_e:
-                    best, best_res, best_e = pk, res, e
-                    break
-            if best is not None:
+            res2, packed2 = coarse_tracker.track_multi_jit(
+                *args, levels=self.cfg.levels)
+            pk2 = coarse_tracker.PackedTrack(jax.device_get(packed2),
+                                             self.cfg.levels)
+            if pk2.any_valid:
+                res, pk = res2, pk2
                 self.imu.coarse = None   # belief reset; BA re-seeds it
-        if best is None:
+        best_res = res
+        best = pk
+        best_e = float(pk.level_energy[0])
+        if not pk.any_valid:
             self.is_lost = True
             self.stats_lost_frames += 1
-            best, best_res = pk, res  # keep last attempt (= prediction)
         else:
             self.is_lost = False   # a valid track recovers the system
             # Cap: prior-inflated energies must not poison the ladder gate.
@@ -439,10 +428,11 @@ class FullSystem:
             self._run_ba(max_iters=cfg.ba_iters)
         w.frames = window_ops.set_fej_current(w.frames, slot)
         self._imu_set_fej(slot)
-        # One packed stats fetch drives the marginalization decision, the
-        # density estimate, and the KF pose records.
-        stats_np = np.asarray(window_ops.marg_stats(
-            w.frames, w.points, w.pair_mask))
+        # ONE batched device_get carries the marginalization stats AND the
+        # window poses (each extra sync costs a full tunnel round trip).
+        stats_np, pose_pack_np = jax.device_get(
+            (window_ops.marg_stats(w.frames, w.points, w.pair_mask),
+             window_ops.kf_pose_pack(w.frames)))
         F = cfg.f_max
         n_after = float(stats_np[4 * F])
         if self._n_active > 60 and n_after < max(40.0, 0.15 * self._n_active):
@@ -454,18 +444,19 @@ class FullSystem:
                 self.imu.states = snap[4]
             self.calib = w.calib
             w.frames = window_ops.set_fej_current(w.frames, slot)
-            stats_np = np.asarray(window_ops.marg_stats(
-                w.frames, w.points, w.pair_mask))
+            stats_np, pose_pack_np = jax.device_get(
+                (window_ops.marg_stats(w.frames, w.points, w.pair_mask),
+                 window_ops.kf_pose_pack(w.frames)))
             n_after = float(stats_np[4 * F])
         self._n_active = n_after
-        pose_pack = self._record_kf_poses()
+        pose_pack = self._record_kf_poses(pose_pack_np)
         with TimeMeasurement("marginalize"):
             self._marginalize(slot, stats_np)
         # Post-marginalization density (drives the map-dead reset guard; a
         # victim hosting most points is a mass extinction the pre-marg
         # stats cannot see). [1]-shaped to avoid the scalar-fetch path.
-        self._n_active = float(np.asarray(
-            jnp.sum(w.points.mask.astype(jnp.float32))[None])[0])
+        self._n_active = float(jax.device_get(
+            jnp.sum(w.points.mask.astype(jnp.float32))))
         with TimeMeasurement("tracker_ref"):
             self._set_tracker_ref(slot, fid, pose_pack)
         with TimeMeasurement("spawn_immatures"):
@@ -570,7 +561,7 @@ class FullSystem:
         w = self.win
         F = self.cfg.f_max
         if pack_np is None:
-            pack_np = np.asarray(window_ops.kf_pose_pack(w.frames))
+            pack_np = jax.device_get(window_ops.kf_pose_pack(w.frames))
         R = pack_np[:9 * F].reshape(F, 3, 3)
         t = pack_np[9 * F:12 * F].reshape(F, 3)
         for s in range(F):
@@ -643,16 +634,17 @@ class FullSystem:
                 imu_on=jnp.asarray(True))
             HM_add, bM_add = vio_ba.marginalize_points_ext_jit(
                 vproblem, w.images, marg_pts, F)
-            HM_add_np = np.asarray(HM_add, np.float64)
-            bM_add_np = np.asarray(bM_add, np.float64)
+            HM_add_np, bM_add_np = [np.asarray(a, np.float64)
+                                    for a in jax.device_get((HM_add, bM_add))]
             self.imu.HM = self.imu.HM + HM_add_np
             self.imu.bM0 = self.imu.bM0 + bM_add_np
             self._vio_event_quad = (HM_add_np, bM_add_np)
         else:
             HM_add, bM_add = ba.marginalization_update_jit(
                 problem, w.images, marg_pts)
-            w.HM = w.HM + np.asarray(HM_add, np.float64)
-            w.bM0 = w.bM0 + np.asarray(bM_add, np.float64)
+            HM_np, bM_np = jax.device_get((HM_add, bM_add))
+            w.HM = w.HM + np.asarray(HM_np, np.float64)
+            w.bM0 = w.bM0 + np.asarray(bM_np, np.float64)
         # Drop hosted points and the victims' pair rows (device).
         w.points, w.pair_mask = window_ops.drop_points_mask(
             w.points, pair_rows_cleared, hosted)
@@ -701,8 +693,9 @@ class FullSystem:
         b_ext = vio_ba.embed_vis(b_add * vio_ba.W_DSO, F)
         slots = w.slots_by_age()
         fids = [w.slot_frame_id[s_] for s_ in slots]
+        H_np, b_np = jax.device_get((H_ext, b_ext))
         H_ev, b_ev = self.imu.cext_to_event(
-            np.asarray(H_ext, np.float64), np.asarray(b_ext, np.float64),
+            np.asarray(H_np, np.float64), np.asarray(b_np, np.float64),
             slots)
         fej = self.imu.snapshot_kf_states(w.frames, w.slot_frame_id,
                                           use_fej=True)
@@ -750,8 +743,9 @@ class FullSystem:
             HM_add, bM_add = vio_ba.fold_pairs_into_prior_jit(
                 w.frames, imu.states, pairs_dev, imu.R_cb, imu.t_cb,
                 w.calib, w.calib0, F, jnp.asarray(sel))
-            imu.HM = imu.HM + np.asarray(HM_add, np.float64)
-            imu.bM0 = imu.bM0 + np.asarray(bM_add, np.float64)
+            HM_np, bM_np = jax.device_get((HM_add, bM_add))
+            imu.HM = imu.HM + np.asarray(HM_np, np.float64)
+            imu.bM0 = imu.bM0 + np.asarray(bM_np, np.float64)
         removed_pairs = imu.drop_pairs_touching(list(victims))
         slot_fid_map = {sl: ev_slot_fids[sl] for sl in range(F)}
         for s_ in victims:
@@ -803,7 +797,7 @@ class FullSystem:
         self.tracker_ref = _make_ref_jit(
             w.pyramids[slot], w.calib, u_c, v_c, d_c, m_c)
         if pose_pack is None:
-            pose_pack = np.asarray(window_ops.kf_pose_pack(w.frames))
+            pose_pack = jax.device_get(window_ops.kf_pose_pack(w.frames))
         R_new_ref = pose_pack[:9 * F].reshape(F, 3, 3)[slot]
         t_new_ref = pose_pack[9 * F:12 * F].reshape(F, 3)[slot]
         aff_ref = pose_pack[12 * F:14 * F].reshape(F, 2)[slot]

@@ -272,11 +272,10 @@ def compose_abs_pose(R_rel, t_rel, rho, b_aff, frames: BAFrames, slot):
     return R, t, jnp.stack([a_new, b_new])
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "radius",
-                                             "use_spacing"))
+@functools.partial(jax.jit, static_argnames=("h", "w"))
 def activate_and_admit(pool: ImmaturePoints, frames: BAFrames,
                        points: BAPoints, pair_mask, images, calib, slot,
-                       h: int, w: int, radius: int, use_spacing: bool):
+                       h: int, w: int, radius, use_spacing):
     """Candidate gating + spacing + idepth GN + admission, one dispatch
     (activatePointsMT + insertion, FullSystem.cpp:604).
 
@@ -292,14 +291,15 @@ def activate_and_admit(pool: ImmaturePoints, frames: BAFrames,
         (pool.quality > q_th) & tight & (d_mid > 1e-3)
     cu, cv, _, cvalid = project_into(
         frames, pool.host, pool.u, pool.v, d_mid, calib, slot)
-    if use_spacing:
-        au, av, _, avalid = project_into(
-            frames, points.host, points.u, points.v, points.idepth,
-            calib, slot)
-        clear = select.occupancy_spacing(
-            au, av, points.mask & avalid, cu, cv, h, w,
-            radius=radius, cell=8)
-        cand = cand & clear
+    # radius/use_spacing follow the point density and are TRACED (density
+    # crossing a threshold mid-sequence must not recompile this program).
+    au, av, _, avalid = project_into(
+        frames, points.host, points.u, points.v, points.idepth,
+        calib, slot)
+    clear = select.occupancy_spacing(
+        au, av, points.mask & avalid, cu, cv, h, w,
+        radius=radius, cell=8)
+    cand = cand & (clear | ~jnp.asarray(use_spacing, bool))
     cand = cand & cvalid
 
     d, ok, energy = immature.activate(

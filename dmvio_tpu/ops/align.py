@@ -113,6 +113,35 @@ def calc_energy(
     return energy, jnp.sum(active.astype(jnp.float32)), jnp.sum(saturated.astype(jnp.float32))
 
 
+def calc_sat_profile(
+    tgt_level: jnp.ndarray,
+    calib_l: Calib,
+    pc: PointCloud,
+    R: jnp.ndarray,
+    t: jnp.ndarray,
+    aff_a: jnp.ndarray,
+    aff_b: jnp.ndarray,
+    cutoff_th: float = 20.0,
+    mults=(1.0, 2.0, 4.0),
+):
+    """Saturation ratios at several cutoff multipliers from ONE gather pass.
+
+    Replaces the reference's levelCutoffRepeat re-evaluation loop
+    (CoarseTracker.cpp:569-597, which re-runs calcRes with a doubled cutoff
+    until <60% of terms saturate): the residuals don't depend on the
+    cutoff, so every candidate multiplier's ratio comes from the same
+    sampled residuals. Returns [len(mults)] saturation ratios."""
+    h, w = tgt_level.shape[-2:]
+    un, vn, xn, yn, dn, valid_z = warp_points(pc, calib_l, R, t)
+    inb = interp.in_bounds(un, vn, h, w, pad=2.0) & valid_z & pc.mask
+    i_new = interp.bilinear(tgt_level[0], un, vn)
+    abs_r = jnp.abs(i_new - (aff_a * pc.color + aff_b))
+    n_inb = jnp.maximum(jnp.sum(inb.astype(jnp.float32)), 1.0)
+    ratios = [jnp.sum(((abs_r > cutoff_th * m) & inb).astype(jnp.float32))
+              / n_inb for m in mults]
+    return jnp.stack(ratios)
+
+
 def calc_res_and_gs(
     tgt_level: jnp.ndarray,   # [3, H, W] target pyramid level (I, gx, gy)
     calib_l: Calib,

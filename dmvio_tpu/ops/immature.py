@@ -31,7 +31,7 @@ IPS_OUTLIER = 3
 IPS_SKIPPED = 4
 IPS_BADCONDITION = 5
 
-N_SAMPLES = 64          # discrete epipolar samples (ref: <=100 steps w/ dynamic len)
+N_SAMPLES = 32          # discrete epipolar samples (ref: <=100 steps w/ dynamic len)
 # Relative search cap (* (w + h)). The reference uses 0.027 at VGA (~30 px);
 # since our samples are a fixed batch (no per-step cost), a longer cap costs
 # nothing and avoids losing near points whose disparity exceeds the clip.
@@ -140,7 +140,12 @@ def trace(
     rel_a = jnp.exp(aff_n[0] - aff_h[:, 0])           # [I]
     pred = rel_a[:, None] * (pool.color - aff_h[:, 1:2]) + aff_n[1]  # [I, K]
 
-    # Discrete search: S samples from (u_min, v_min) along the clipped dir.
+    # Discrete search: S samples from (u_min, v_min) along the clipped dir
+    # with the full rotated pattern (the reference's scalar per-step loop,
+    # ImmaturePoint.cpp:227-310). S=32 keeps the gather — the frontend's
+    # single most expensive op on TPU — at half the naive budget; the GN
+    # refinement below recovers the coarser step quantization (its step
+    # clamp scales with dist_c / (S-1)).
     alphas = jnp.linspace(0.0, 1.0, N_SAMPLES)        # [S]
     su = u_min[:, None] + alphas[None, :] * dirx_c[:, None]   # [I, S]
     sv = v_min[:, None] + alphas[None, :] * diry_c[:, None]
@@ -155,6 +160,7 @@ def trace(
 
     best = jnp.argmin(sample_e, axis=-1)              # [I]
     best_e = jnp.min(sample_e, axis=-1)
+    best_ok = sample_ok[jnp.arange(best.shape[0]), best]
     # Second best at least 2 PIXELS away (setting_minTraceTestRadius).
     step_px = dist_c / (N_SAMPLES - 1)
     sidx = jnp.arange(N_SAMPLES)[None, :]
@@ -208,9 +214,7 @@ def trace(
     searched = pool.mask & ~tiny & ok_min & jnp.all(
         jnp.isfinite(jnp.stack([bu, bv])), axis=0
     )
-    good = searched & (final_e < OUTLIER_ENERGY) & (new_max > 0) & sample_ok[
-        jnp.arange(best.shape[0]), best
-    ]
+    good = searched & (final_e < OUTLIER_ENERGY) & (new_max > 0) & best_ok
     bad = searched & ~good
 
     new_min = jnp.where(good, jnp.maximum(new_min, 0.0), pool.idepth_min)

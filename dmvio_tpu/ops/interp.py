@@ -70,6 +70,19 @@ def bilinear_stack(stack: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.nd
     return jnp.moveaxis(out, 0, -1).reshape(x.shape + (c,))
 
 
+def nearest(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor sample of img [H, W] at float coords.
+
+    ONE gather instead of bilinear's four — used for discrete candidate
+    scans whose result is refined with bilinear afterwards (the <=0.5 px
+    rounding error is below the scan's own step quantization)."""
+    h, w = img.shape[-2], img.shape[-1]
+    ix = jnp.clip(jnp.round(x), 0, w - 1).astype(jnp.int32)
+    iy = jnp.clip(jnp.round(y), 0, h - 1).astype(jnp.int32)
+    flat = img.reshape(img.shape[:-2] + (h * w,))
+    return jnp.take(flat, iy * w + ix, axis=-1)
+
+
 def in_bounds(x: jnp.ndarray, y: jnp.ndarray, h: int, w: int, pad: float = 2.0):
     """Mask of samples at least `pad` pixels inside the image."""
     return (x > pad) & (x < w - pad - 1) & (y > pad) & (y < h - pad - 1)

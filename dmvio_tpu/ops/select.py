@@ -126,10 +126,19 @@ def occupancy_spacing(
     occ = jnp.zeros((gh, gw), jnp.float32)
     occ = occ.at[gy, gx].add(exist_mask.astype(jnp.float32))
     occ = (occ > 0).astype(jnp.float32)
-    for _ in range(radius):
+    # `radius` may be TRACED (it follows the point density, which must not
+    # trigger a recompile mid-sequence): dilate to the max radius, keep all
+    # stages, select dynamically. The grid is tiny (h/cell x w/cell), so
+    # the extra stages cost nothing next to a recompile through the tunnel.
+    MAX_R = 2
+    stages = [occ]
+    for _ in range(MAX_R):
         occ = jax.lax.reduce_window(
             occ, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
         )
+        stages.append(occ)
+    r = jnp.clip(jnp.asarray(radius, jnp.int32), 0, MAX_R)
+    occ_sel = jnp.stack(stages)[r]
     cx = jnp.clip((u_cand / cell).astype(jnp.int32), 0, gw - 1)
     cy = jnp.clip((v_cand / cell).astype(jnp.int32), 0, gh - 1)
-    return occ[cy, cx] <= 0
+    return occ_sel[cy, cx] <= 0
