@@ -42,8 +42,10 @@ def main():
         return (jnp.asarray(R_cw, jnp.float32),
                 jnp.asarray(-R_cw @ center, jnp.float32))
 
+    # Realtime (pipelined) mode — the operating point the reference's
+    # 20 fps requirement refers to (linearizeOperation=false).
     cfg = window.Config(f_max=8, p_max=2048, i_max=2048, max_frames=7,
-                        levels=6, ba_iters=6)
+                        levels=6, ba_iters=6, realtime=True)
     fs = full_system.FullSystem(calib, H, W, cfg)
 
     frames = []
@@ -60,6 +62,7 @@ def main():
     t0 = time.perf_counter()
     for i in range(N_WARM, N_WARM + N_MEAS):
         fs.add_frame(frames[i], timestamp=i * 0.05)
+    fs.finish()   # flush the realtime pipeline inside the timed region
     dt = time.perf_counter() - t0
 
     fps = N_MEAS / dt

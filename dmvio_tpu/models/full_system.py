@@ -107,6 +107,7 @@ class FullSystem:
         # Observer chain (reference Output3DWrapper, Output3DWrapper.h:144).
         self.output_wrappers = []
         self._published_status = -1
+        self._rt_pending = None   # in-flight frame (realtime pipeline)
 
     # ------------------------------------------------------------------
     def add_frame(self, img: jnp.ndarray, timestamp: float,
@@ -149,6 +150,10 @@ class FullSystem:
                 self.shells[-1] = window.FrameShell(
                     frame_id=fid, timestamp=timestamp, ref_kf_id=fid,
                     R_c_ref=np.eye(3), t_c_ref=np.zeros(3), is_kf=True)
+            return
+
+        if self.cfg.realtime and self.imu is None:
+            self._rt_frame(pyr, timestamp, fid)
             return
 
         # ---- tracking front-end ----
@@ -209,11 +214,174 @@ class FullSystem:
             self._full_reset(pyr, timestamp, fid)
 
     # ------------------------------------------------------------------
+    # Realtime (pipelined) mode: the reference's two-thread track/map
+    # pipeline (deliverTrackedFrame/mappingLoop, FullSystem.cpp:1124-1320)
+    # becomes a one-frame-deep software pipeline: each frame's front-end is
+    # DISPATCHED immediately (track + trace, all device-side), and its
+    # results are CONSUMED when the next frame arrives — by then the packed
+    # stats have been async-copied to the host, so the per-frame tunnel
+    # round trip overlaps the next frame's device compute. Keyframes are
+    # created one frame late; subsequent frames keep tracking against the
+    # old reference until the switch (the reference's tracker
+    # double-buffering, FullSystem.cpp:978-1002).
+    def _rt_frame(self, pyr, ts, fid) -> None:
+        mR, mt = self.motion
+        lR, lt = self.T_last_ref
+        R_c = np.zeros((4, 3, 3), np.float32)
+        t_c = np.zeros((4, 3), np.float32)
+        mask_c = np.zeros(4, bool)
+        R_c[0] = np.eye(3)
+        R_c[1] = mR @ lR
+        t_c[1] = mR @ lt + mt
+        R_c[2] = lR
+        t_c[2] = lt
+        R_c[3] = np.eye(3)
+        mask_c[1:] = True
+        gate = 1.5 * self.track_energy_ref + 0.5
+        res, packed = coarse_tracker.track_multi_jit(
+            self.tracker_ref, pyr, self.calib,
+            jnp.asarray(R_c), jnp.asarray(t_c), jnp.asarray(mask_c),
+            jnp.asarray(self.last_rho, jnp.float32),
+            jnp.asarray(self.last_b, jnp.float32),
+            jnp.asarray(gate, jnp.float32), levels=self.cfg.levels)
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
+        R_cw, t_cw, aff_new = window_ops.compose_abs_pose(
+            res.R, res.t, res.rho, res.b_aff, self.win.frames,
+            self.ref_kf_slot)
+        imm_before = self.imm     # pre-trace pool (device refs: free)
+        with TimeMeasurement("trace"):
+            self._trace_pool(R_cw, t_cw, aff_new, pyr)
+        self.shells.append(window.FrameShell(
+            frame_id=fid, timestamp=ts, ref_kf_id=self.ref_kf_id,
+            R_c_ref=np.eye(3), t_c_ref=np.zeros(3)))
+        prev = self._rt_pending
+        self._rt_pending = dict(
+            fid=fid, ts=ts, pyr=pyr, packed=packed,
+            ref_kf_id=self.ref_kf_id, ref_pose=self.ref_pose_np,
+            shell_idx=len(self.shells) - 1,
+            R_cw=R_cw, t_cw=t_cw, aff=aff_new, imm_before=imm_before)
+        if prev is not None:
+            self._rt_consume(prev)
+
+    def _rt_consume(self, p) -> None:
+        """Finish a pipelined frame: host bookkeeping + keyframe decision
+        from its (by now transferred) packed stats."""
+        pk = coarse_tracker.PackedTrack(jax.device_get(p["packed"]),
+                                        self.cfg.levels)
+        R_old, t_old = p["ref_pose"]          # ref pose used at dispatch
+        R_cw_np = pk.R @ R_old
+        t_cw_np = pk.R @ t_old + pk.t
+        self.shells[p["shell_idx"]] = window.FrameShell(
+            frame_id=p["fid"], timestamp=p["ts"],
+            ref_kf_id=p["ref_kf_id"],
+            R_c_ref=pk.R.copy(), t_c_ref=pk.t.copy())
+        if pk.any_valid:
+            self.is_lost = False
+            self.track_energy_ref = min(
+                0.7 * self.track_energy_ref
+                + 0.3 * float(pk.level_energy[0]), 100.0)
+            # Motion model relative to the CURRENT reference (the frame may
+            # have been tracked against an older one).
+            R_cur, t_cur = self.ref_pose_np
+            R_rel = (R_cw_np @ R_cur.T).astype(np.float32)
+            t_rel = (t_cw_np - R_rel @ t_cur).astype(np.float32)
+            lR, lt = self.T_last_ref
+            self.motion = (R_rel @ lR.T, t_rel - R_rel @ lR.T @ lt)
+            self.T_last_ref = (R_rel, t_rel)
+            self.last_rho = pk.rho
+            self.last_b = pk.b_aff
+        else:
+            self.is_lost = True
+            self.stats_lost_frames += 1
+        if self.output_wrappers:
+            from dmvio_tpu.io import output_wrapper as ow
+            for w_ in self.output_wrappers:
+                w_.publish_cam_pose(p["fid"], p["ts"], R_cw_np, t_cw_np)
+                if ow.VISUAL_ONLY != self._published_status:
+                    w_.publish_system_status(ow.VISUAL_ONLY)
+            self._published_status = ow.VISUAL_ONLY
+
+        cfg = self.cfg
+        score = cfg.kf_weight * (
+            cfg.w_flow_t * pk.flow_t / (self.w + self.h)
+            + cfg.w_flow_rt * pk.flow_rt / (self.w + self.h)
+            + cfg.w_aff * abs(pk.rho))
+        if score > 1.0 and not self.is_lost:
+            # Undo the in-flight frame's trace first: it ran against the
+            # pre-keyframe window state and is re-issued after the switch
+            # (non-RT ordering is trace(N-1) -> KF(N-1) -> trace(N)).
+            if self._rt_pending is not None:
+                self.imm = self._rt_pending["imm_before"]
+            with TimeMeasurement("keyframe_total"):
+                self._make_keyframe(p["pyr"], p["ts"], p["fid"],
+                                    p["R_cw"], p["t_cw"], p["aff"])
+            # The in-flight frame was dispatched against the PRE-keyframe
+            # reference; its flow stats (and pose basin) are stale. Re-issue
+            # its tracking against the fresh reference — an extra device
+            # dispatch, zero extra host syncs (the replacement result is
+            # consumed on the next frame as usual). The reference instead
+            # lets stale-tracked frames through and swaps the tracker only
+            # between frames (coarseTrackerSwapMutex,
+            # FullSystem.cpp:978-1002).
+            if self._rt_pending is not None:
+                self._rt_redispatch(self._rt_pending)
+        self._consec_lost = self._consec_lost + 1 if self.is_lost else 0
+        map_dead = self.initialized and self._n_active < 25 \
+            and self.stats_kf > 3
+        if map_dead or self._consec_lost > 8:
+            self._full_reset(p["pyr"], p["ts"], p["fid"])
+
+    def _rt_redispatch(self, p) -> None:
+        """Re-track the in-flight frame against the (just switched)
+        tracking reference, replacing its pending results in place."""
+        lR, lt = self.T_last_ref
+        mR, mt = self.motion
+        R_c = np.zeros((4, 3, 3), np.float32)
+        t_c = np.zeros((4, 3), np.float32)
+        mask_c = np.zeros(4, bool)
+        R_c[0] = np.eye(3)
+        R_c[1] = mR @ lR
+        t_c[1] = mR @ lt + mt
+        R_c[2] = lR
+        t_c[2] = lt
+        R_c[3] = np.eye(3)
+        mask_c[1:] = True
+        gate = 1.5 * self.track_energy_ref + 0.5
+        res, packed = coarse_tracker.track_multi_jit(
+            self.tracker_ref, p["pyr"], self.calib,
+            jnp.asarray(R_c), jnp.asarray(t_c), jnp.asarray(mask_c),
+            jnp.asarray(self.last_rho, jnp.float32),
+            jnp.asarray(self.last_b, jnp.float32),
+            jnp.asarray(gate, jnp.float32), levels=self.cfg.levels)
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
+        R_cw, t_cw, aff_new = window_ops.compose_abs_pose(
+            res.R, res.t, res.rho, res.b_aff, self.win.frames,
+            self.ref_kf_slot)
+        p.update(packed=packed, ref_kf_id=self.ref_kf_id,
+                 ref_pose=self.ref_pose_np,
+                 R_cw=R_cw, t_cw=t_cw, aff=aff_new, imm_before=self.imm)
+        self._trace_pool(R_cw, t_cw, aff_new, p["pyr"])
+
+    def finish(self) -> None:
+        """Flush the realtime pipeline (consume the in-flight frame)."""
+        p = self._rt_pending
+        if p is not None:
+            self._rt_pending = None
+            self._rt_consume(p)
+
+    # ------------------------------------------------------------------
     def _full_reset(self, pyr, timestamp, fid) -> None:
         """Rebuild the visual window from the current frame (the reference
         recreates FullSystem keeping the output wrappers)."""
         self.stats_resets += 1
         self._consec_lost = 0
+        self._rt_pending = None   # in-flight frame belongs to the dead map
         self.win = window.Window(self.calib, self.h, self.w, self.cfg)
         self.imm = immature.empty_pool(self.cfg.i_max)
         self.initialized = False
@@ -232,9 +400,14 @@ class FullSystem:
         self.init.set_first(pyr)
         self._first_pyr = pyr
         self._first_ts = timestamp
-        self.shells[-1] = window.FrameShell(
-            frame_id=fid, timestamp=timestamp, ref_kf_id=fid,
-            R_c_ref=np.eye(3), t_c_ref=np.zeros(3), is_kf=True)
+        for k in range(len(self.shells) - 1, -1, -1):
+            # The reset frame is usually the newest shell, but in realtime
+            # mode a younger in-flight frame may sit after it.
+            if self.shells[k].frame_id == fid:
+                self.shells[k] = window.FrameShell(
+                    frame_id=fid, timestamp=timestamp, ref_kf_id=fid,
+                    R_c_ref=np.eye(3), t_c_ref=np.zeros(3), is_kf=True)
+                break
         if self.imu is not None:
             # Back to coarse-init collection; metric knowledge (bias, the
             # last scale estimate) survives as the next init's warm start.
@@ -865,6 +1038,7 @@ class FullSystem:
     def trajectory(self):
         """All frame poses as cam-to-world (R_wc, t_wc) with timestamps
         (printResult semantics, FullSystem.cpp:256-298)."""
+        self.finish()
         out = []
         for sh in self.shells:
             if sh.frame_id in self.kf_poses:

@@ -43,6 +43,12 @@ class Config:
     aff_a_prior: float = 1e6    # setting_affineOptModeA-style prior
     aff_b_prior: float = 1e4
     min_rel_baseline: float = 0.02  # initializer parallax gate (RMS px / (w+h))
+    # Pipelined tracking/mapping (the reference's realtime mode,
+    # linearizeOperation=false): the host consumes each frame's tracking
+    # result one frame late, so device compute overlaps host bookkeeping
+    # and the keyframe path. Visual-only for now (the IMU coarse filter
+    # syncs per frame and would serialize the pipeline).
+    realtime: bool = False
 
 
 @dataclasses.dataclass

@@ -97,6 +97,7 @@ def run(argv=None) -> dict:
         if not su["quiet"] and i % 50 == 0:
             print(f"frame {i}/{n} kf={fs.stats_kf} "
                   f"init={fs.initialized} lost={fs.is_lost}")
+    fs.finish()   # flush the realtime pipeline (no-op otherwise)
     wall = time.perf_counter() - t_start
 
     prefix = su["resultsPrefix"]

@@ -77,3 +77,26 @@ def test_tum_roundtrip(tmp_path, vo_run):
     assert len(back) == N_FRAMES
     ate = trajectory.ate_rmse(back, fs.trajectory(), with_scale=False)
     assert ate < 1e-4
+
+
+def test_vo_realtime_pipeline():
+    """Pipelined (realtime) mode matches non-RT accuracy on the same
+    sequence: keyframes land one frame late and tracking briefly uses the
+    previous reference — the reference's own RT semantics
+    (deliverTrackedFrame, FullSystem.cpp:1124-1216)."""
+    calib, images, R_gt, t_gt = make_sequence()
+    cfg = window.Config(f_max=6, p_max=512, i_max=512, max_frames=4,
+                        levels=4, ba_iters=6, realtime=True)
+    fs = full_system.FullSystem(calib, H, W, cfg)
+    for i, img in enumerate(images):
+        fs.add_frame(img, timestamp=i * 0.05)
+    fs.finish()
+    assert fs.initialized and not fs.is_lost
+    est = fs.trajectory()
+    assert len(est) == N_FRAMES
+    gt = []
+    for i in range(N_FRAMES):
+        R_wc, t_wc = lie.se3_inv(R_gt[i], t_gt[i])
+        gt.append((i * 0.05, np.asarray(R_wc), np.asarray(t_wc)))
+    ate = trajectory.ate_rmse(est, gt, with_scale=True)
+    assert ate < 0.04, ate
