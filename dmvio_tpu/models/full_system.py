@@ -271,6 +271,15 @@ class FullSystem:
         from its (by now transferred) packed stats."""
         pk = coarse_tracker.PackedTrack(jax.device_get(p["packed"]),
                                         self.cfg.levels)
+        if not pk.any_valid:
+            res_r, pk_r = self._rescue_track(p["pyr"])
+            if pk_r.any_valid:
+                pk = pk_r
+                p["ref_pose"] = self.ref_pose_np
+                p["ref_kf_id"] = self.ref_kf_id
+                p["R_cw"], p["t_cw"], p["aff"] = window_ops.compose_abs_pose(
+                    res_r.R, res_r.t, res_r.rho, res_r.b_aff,
+                    self.win.frames, self.ref_kf_slot)
         R_old, t_old = p["ref_pose"]          # ref pose used at dispatch
         R_cw_np = pk.R @ R_old
         t_cw_np = pk.R @ t_old + pk.t
@@ -333,6 +342,60 @@ class FullSystem:
             and self.stats_kf > 3
         if map_dead or self._consec_lost > 8:
             self._full_reset(p["pyr"], p["ts"], p["fid"])
+
+    def _rescue_candidates(self):
+        """32-candidate rescue batch: motion variants + the reference's 26
+        rotation-perturbed constant-motion initializations ("just try a TON
+        of different initializations", FullSystem.cpp:369-399; rotDelta =
+        0.02 quaternion component ~ 0.04 rad)."""
+        from dmvio_tpu.models.vio_coarse import _exp_so3, _log_so3
+        mR, mt = self.motion
+        lR, lt = self.T_last_ref
+        cv_R, cv_t = mR @ lR, mR @ lt + mt
+        w_half = _log_so3(np.asarray(mR, np.float64)) * 0.5
+        R_half = _exp_so3(w_half).astype(np.float32)
+        cands = [
+            (cv_R, cv_t),                                  # const motion
+            (mR @ cv_R, mR @ cv_t + mt),                   # double motion
+            (R_half @ lR, R_half @ lt + 0.5 * mt),         # half motion
+            (lR, lt),                                      # zero motion
+            (np.eye(3, dtype=np.float32),
+             np.zeros(3, np.float32)),                     # zero from KF
+        ]
+        delta = 0.04
+        for sx in (-1, 0, 1):
+            for sy in (-1, 0, 1):
+                for sz in (-1, 0, 1):
+                    if sx == sy == sz == 0:
+                        continue
+                    dR = _exp_so3(delta * np.array(
+                        [sx, sy, sz], np.float64)).astype(np.float32)
+                    cands.append((cv_R @ dR, cv_t))
+        C = 32
+        R_c = np.zeros((C, 3, 3), np.float32)
+        t_c = np.zeros((C, 3), np.float32)
+        mask_c = np.zeros(C, bool)
+        for k, (R0, t0) in enumerate(cands[:C]):
+            R_c[k] = R0
+            t_c[k] = t0
+            mask_c[k] = True
+        return R_c, t_c, mask_c
+
+    def _rescue_track(self, pyr):
+        """Last-resort tracking attempt with the big perturbation batch
+        (one extra dispatch + sync; only runs when the primary candidates
+        all failed). Returns (res, pk)."""
+        R_c, t_c, mask_c = self._rescue_candidates()
+        gate = 1.5 * self.track_energy_ref + 0.5
+        res, packed = coarse_tracker.track_multi_jit(
+            self.tracker_ref, pyr, self.calib,
+            jnp.asarray(R_c), jnp.asarray(t_c), jnp.asarray(mask_c),
+            jnp.asarray(self.last_rho, jnp.float32),
+            jnp.asarray(self.last_b, jnp.float32),
+            jnp.asarray(gate, jnp.float32), levels=self.cfg.levels)
+        pk = coarse_tracker.PackedTrack(jax.device_get(packed),
+                                        self.cfg.levels)
+        return res, pk
 
     def _rt_redispatch(self, p) -> None:
         """Re-track the in-flight frame against the (just switched)
@@ -500,6 +563,12 @@ class FullSystem:
             if pk2.any_valid:
                 res, pk = res2, pk2
                 self.imu.coarse = None   # belief reset; BA re-seeds it
+        if not pk.any_valid:
+            res3, pk3 = self._rescue_track(pyr)
+            if pk3.any_valid:
+                res, pk = res3, pk3
+                if self.imu is not None:
+                    self.imu.coarse = None
         best_res = res
         best = pk
         best_e = float(pk.level_energy[0])

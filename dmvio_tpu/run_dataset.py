@@ -47,7 +47,26 @@ def run(argv=None) -> dict:
             su.parse_arg(a)
     if leftover:
         print(f"ignored arguments: {leftover}", file=sys.stderr)
-    su.apply_to(cfg)
+    # Presets (settingsDefault, MainSettings.cpp:206-258): 0/1 = default
+    # quality tier (2000 points, 7-KF window, 6 LM iterations; 1 enforces
+    # realtime), 2/3 = fast tier (800 points, 6-KF window, 4 iterations;
+    # 3 enforces realtime). Realtime enforcement maps to the pipelined
+    # tracking/mapping mode (Config.realtime).
+    preset = int(su["preset"])
+    if preset in (0, 1):
+        cfg.i_max = 1536
+        cfg.p_max = 2048
+        cfg.max_frames = 7
+        cfg.ba_iters = 6
+        cfg.realtime = preset == 1
+    elif preset in (2, 3):
+        cfg.i_max = 1024
+        cfg.p_max = 1024
+        cfg.max_frames = 6
+        cfg.f_max = 7
+        cfg.ba_iters = 4
+        cfg.realtime = preset == 3
+    su.apply_to(cfg, only_overridden=True)  # explicit settings beat preset
 
     reader = ds.open_dataset(
         su["files"], su["calib"],

@@ -73,11 +73,19 @@ class SettingsUtil:
             return True
         return False
 
-    def apply_to(self, obj: Any, prefix: str = "") -> None:
-        """Write registered values back onto an object's attributes."""
+    def apply_to(self, obj: Any, prefix: str = "",
+                 only_overridden: bool = False) -> None:
+        """Write registered values back onto an object's attributes.
+
+        only_overridden: skip values still at their registered default —
+        used when a preset has modified the object in between (preset <
+        yaml < cmdline, settingsDefault + parseArguments ordering in the
+        reference's MainSettings.cpp:63-65)."""
         for k in vars(obj):
             name = prefix + k
             if name in self._values:
+                if only_overridden and self._from.get(name) == "default":
+                    continue
                 setattr(obj, k, self._values[name])
 
     def print_all(self, out: Optional[Callable[[str], None]] = None) -> str:
