@@ -30,8 +30,10 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+from dmvio_tpu.io import output_wrapper
 # System status (reference Output3DWrapper.h:46).
-VISUAL_INIT, VISUAL_ONLY, VISUAL_INERTIAL, RESETTING = 0, 1, 2, 3
+from dmvio_tpu.io.output_wrapper import (VISUAL_INIT, VISUAL_ONLY,
+                                         VISUAL_INERTIAL, RESETTING)
 
 
 @dataclass
@@ -169,10 +171,11 @@ class IMUInterpolator:
             timestamp=timestamp, acc=acc, gyr=gyr, dts=dts))
 
 
-class FrameSkippingStrategy:
+class FrameSkippingStrategy(output_wrapper.Output3DWrapper):
     """Max allowed skip per system status (FrameSkippingStrategy.h:34-77):
     none during visual init, 1 visual-only, 2 during VIO, unlimited while
-    resetting."""
+    resetting. An Output3DWrapper, like the reference's: it learns the
+    system status through the observer chain."""
 
     def __init__(self, maxskip_visual_init=0, maxskip_visual_only=1,
                  maxskip_vio=2, maxskip_reset=10000):

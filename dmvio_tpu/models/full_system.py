@@ -694,11 +694,6 @@ class FullSystem:
         pose_pack = self._record_kf_poses(pose_pack_np)
         with TimeMeasurement("marginalize"):
             self._marginalize(slot, stats_np)
-        # Post-marginalization density (drives the map-dead reset guard; a
-        # victim hosting most points is a mass extinction the pre-marg
-        # stats cannot see). [1]-shaped to avoid the scalar-fetch path.
-        self._n_active = float(jax.device_get(
-            jnp.sum(w.points.mask.astype(jnp.float32))))
         with TimeMeasurement("tracker_ref"):
             self._set_tracker_ref(slot, fid, pose_pack)
         with TimeMeasurement("spawn_immatures"):
@@ -876,20 +871,29 @@ class FullSystem:
                 imu_on=jnp.asarray(True))
             HM_add, bM_add = vio_ba.marginalize_points_ext_jit(
                 vproblem, w.images, marg_pts, F)
-            HM_add_np, bM_add_np = [np.asarray(a, np.float64)
-                                    for a in jax.device_get((HM_add, bM_add))]
+        else:
+            HM_add, bM_add = ba.marginalization_update_jit(
+                problem, w.images, marg_pts)
+        # Drop hosted points and the victims' pair rows (device), THEN one
+        # batched fetch carries the prior addition and the post-drop
+        # density (the map-dead reset guard needs the density AFTER a
+        # victim's hosted points die — a mass extinction the pre-marg
+        # stats cannot see). Each avoided sync is a tunnel round trip.
+        w.points, w.pair_mask = window_ops.drop_points_mask(
+            w.points, pair_rows_cleared, hosted)
+        HM_np, bM_np, n_after = jax.device_get(
+            (HM_add, bM_add,
+             jnp.sum(w.points.mask.astype(jnp.float32))))
+        self._n_active = float(n_after)
+        if vio:
+            HM_add_np = np.asarray(HM_np, np.float64)
+            bM_add_np = np.asarray(bM_np, np.float64)
             self.imu.HM = self.imu.HM + HM_add_np
             self.imu.bM0 = self.imu.bM0 + bM_add_np
             self._vio_event_quad = (HM_add_np, bM_add_np)
         else:
-            HM_add, bM_add = ba.marginalization_update_jit(
-                problem, w.images, marg_pts)
-            HM_np, bM_np = jax.device_get((HM_add, bM_add))
             w.HM = w.HM + np.asarray(HM_np, np.float64)
             w.bM0 = w.bM0 + np.asarray(bM_np, np.float64)
-        # Drop hosted points and the victims' pair rows (device).
-        w.points, w.pair_mask = window_ops.drop_points_mask(
-            w.points, pair_rows_cleared, hosted)
         if vio:
             self._vio_marginalize_frames(victims)
             self._vio_event_quad = None

@@ -123,3 +123,51 @@ def test_checkpoint_resume_continues_identically():
     # Observer chain received poses and a status.
     assert len(log.poses) > 5
     assert len(log.statuses) >= 1
+
+
+def test_run_live_replay_pipeline():
+    """run_live's capture-thread -> FrameContainer -> FullSystem path
+    (main_dmvio_t265 structure, main_dmvio_t265.cpp:97-305) processes a
+    replayed stream end-to-end with adaptive skipping."""
+    import numpy as np
+
+    from dmvio_tpu.io import live
+    from dmvio_tpu.models import full_system as fsm
+    from dmvio_tpu.models import window
+    from dmvio_tpu.run_live import run_with_source
+    from dmvio_tpu.utils import synthetic
+    from dmvio_tpu.utils.camera import Calib
+
+    H, W, N = 96, 128, 16
+    calib = Calib.create(100.0, 100.0, W / 2 - 0.5, H / 2 - 0.5)
+    scene = synthetic.default_scene(depth=2.0)
+    import jax.numpy as jnp
+
+    from dmvio_tpu.utils import lie
+    imgs = []
+    for i in range(N):
+        center = np.array([0.035 * i, 0.0, 0.0])
+        R_cw = np.eye(3, dtype=np.float32)
+        imgs.append(np.asarray(synthetic.render(
+            scene, jnp.asarray(R_cw), jnp.asarray(-R_cw @ center),
+            calib, H, W)))
+
+    cfg = window.Config(f_max=6, p_max=256, i_max=256, max_frames=4,
+                        levels=4, ba_iters=4)
+    fs = fsm.FullSystem(calib, H, W, cfg)
+    container = live.FrameContainer()
+    skipper = live.FrameSkippingStrategy()
+    fs.output_wrappers.append(skipper)
+
+    def feed(interp):
+        t = 0.0
+        for i in range(N):
+            for k in range(5):
+                t += 0.01
+                interp.add_gyr_data(np.zeros(3), t)
+                interp.add_acc_data(np.array([0, 0, 9.81]), t)
+            interp.add_image(imgs[i], t)
+
+    n = run_with_source(feed, fs, container, skipper, quiet=True)
+    assert n >= N // 2          # skipping may drop backlog frames
+    assert len(fs.shells) == n
