@@ -29,7 +29,8 @@ def main():
 
     H = W = 512
     N_WARM = 12     # covers init + first KFs (all program compilations)
-    N_MEAS = 36
+    N_MEAS = 72     # long window: the device link's latency jitter (rare
+                    # multi-second stalls) must average out
 
     calib = Calib.create(380.0, 380.0, W / 2 - 0.5, H / 2 - 0.5)
     scene = synthetic.default_scene(depth=2.0)
