@@ -432,3 +432,14 @@ class PackedTrack:
         else:
             self.sel = 0
             self.any_valid = self.valid
+        # A numerically diverged solve (non-finite pose, or a rotation that
+        # stopped being orthonormal) must read as LOST, never as a valid
+        # track: the pose feeds the host motion model and, via the next
+        # keyframe, the marginalization prior — one inf poisons both
+        # beyond recovery (observed as eigh() failures on the prior).
+        finite = bool(np.all(np.isfinite(a[0:25])))
+        if finite:
+            finite = bool(abs(self.R[0] @ self.R[0] - 1.0) < 0.1)
+        if not finite:
+            self.valid = False
+            self.any_valid = False

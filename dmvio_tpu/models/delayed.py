@@ -315,8 +315,8 @@ def _linearize_pair(p: SymbolicPair, fej: Dict[int, KFState],
         np.asarray(pre["cov"]) + infl + 1e-14 * np.eye(9)))
     dt = float(pre["dt"])
     Wb = np.diag(np.concatenate([
-        np.full(3, 1.0 / (8e-5 * np.sqrt(max(dt, 1e-6)))),
-        np.full(3, 1.0 / (3e-3 * np.sqrt(max(dt, 1e-6))))]))
+        np.full(3, 1.0 / (P.NOISE.sigma_gyro_walk * np.sqrt(max(dt, 1e-6)))),
+        np.full(3, 1.0 / (P.NOISE.sigma_acc_walk * np.sqrt(max(dt, 1e-6))))]))
 
     def resid(z):
         # z = [ds, dg2(2), xi_i(6), dv_i, dbg_i, dba_i, xi_j(6), dv_j,...]

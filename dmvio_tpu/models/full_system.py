@@ -280,6 +280,16 @@ class FullSystem:
                 p["R_cw"], p["t_cw"], p["aff"] = window_ops.compose_abs_pose(
                     res_r.R, res_r.t, res_r.rho, res_r.b_aff,
                     self.win.frames, self.ref_kf_slot)
+        if not pk.any_valid:
+            # Lost: report the constant-velocity prediction, never a
+            # diverged solve's (possibly non-finite) pose.
+            mR, mt = self.motion
+            lR, lt = self.T_last_ref
+            pk.R = (mR @ lR).astype(np.float32)
+            pk.t = (mR @ lt + mt).astype(np.float32)
+            pk.rho, pk.b_aff = self.last_rho, self.last_b
+            p["ref_pose"] = self.ref_pose_np
+            p["ref_kf_id"] = self.ref_kf_id
         R_old, t_old = p["ref_pose"]          # ref pose used at dispatch
         R_cw_np = pk.R @ R_old
         t_cw_np = pk.R @ t_old + pk.t
@@ -575,18 +585,26 @@ class FullSystem:
         if not pk.any_valid:
             self.is_lost = True
             self.stats_lost_frames += 1
+            # Report the constant-velocity prediction as this frame's pose
+            # (the reference keeps predicting through losses too,
+            # FullSystem.cpp:440-445) — never a diverged solve's output.
+            pk.R = (mR @ lR).astype(np.float32)
+            pk.t = (mR @ lt + mt).astype(np.float32)
+            pk.rho, pk.b_aff = self.last_rho, self.last_b
         else:
             self.is_lost = False   # a valid track recovers the system
             # Cap: prior-inflated energies must not poison the ladder gate.
             self.track_energy_ref = min(
                 0.7 * self.track_energy_ref + 0.3 * best_e, 100.0)
-        # Constant-velocity model update (host-side numpy: tiny matrices).
-        lR_new = best.R
-        lt_new = best.t
-        self.motion = (lR_new @ lR.T, lt_new - lR_new @ lR.T @ lt)
-        self.T_last_ref = (lR_new, lt_new)
-        self.last_rho = best.rho
-        self.last_b = best.b_aff
+            # Constant-velocity model update (host numpy: tiny matrices).
+            # Only from a VALID track — a diverged solve's pose would
+            # poison every future frame's candidate ladder.
+            lR_new = best.R
+            lt_new = best.t
+            self.motion = (lR_new @ lR.T, lt_new - lR_new @ lR.T @ lt)
+            self.T_last_ref = (lR_new, lt_new)
+            self.last_rho = best.rho
+            self.last_b = best.b_aff
 
         # Keyframe decision (FullSystem.cpp:1038-1100 heuristic).
         cfg = self.cfg

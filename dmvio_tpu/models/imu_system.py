@@ -53,6 +53,18 @@ class IMUCalib:
     sigma_acc: float = 2.0e-3
     sigma_gyro_walk: float = 8.0e-5
     sigma_acc_walk: float = 3.0e-3
+    sigma_integration: float = 1e-8
+    # IMU-init transition model (init_transitionModel,
+    # IMUInitializerTransitions.h:62-71): 2 = full method (PGBA +
+    # marginalization replacement, the paper default), 1 = no
+    # marginalization replacement, 4 = no replacement at the initial
+    # takeover (later ones allowed), 5 = coarse IMU init only (no PGBA).
+    transition_model: int = 2
+    # Scale-marginal gates, as multipliers on the built-in thresholds
+    # (init_coarseScaleUncertaintyThresh / init_pgba_scaleUncertaintyThresh,
+    # IMUInitSettings.h:64-65 — reference default 1.0).
+    coarse_scale_th: float = 1.0
+    pgba_scale_th: float = 1.0
 
 
 def _pad_chunk(acc, gyr, dts, cap):
@@ -72,6 +84,14 @@ class IMUSystem:
     def __init__(self, calib: IMUCalib, f_max: int):
         self.calib = calib
         self.f_max = f_max
+        # The calibration is the single source of the process noise model
+        # (the reference reads the same five densities from per-dataset
+        # YAMLs into IMUCalibration, IMUSettings.h:126-135).
+        preint.set_noise(
+            sigma_gyro=calib.sigma_gyro, sigma_acc=calib.sigma_acc,
+            sigma_gyro_walk=calib.sigma_gyro_walk,
+            sigma_acc_walk=calib.sigma_acc_walk,
+            sigma_integration=calib.sigma_integration)
         self.R_cb = jnp.asarray(calib.R_cb)
         self.t_cb = jnp.asarray(calib.t_cb)
         self.phase = INACTIVE
@@ -278,8 +298,11 @@ class IMUSystem:
             self._last_init_decent = False
             return False
         self._last_init_decent = mean_e < 50.0
-        # Gate: converged (E/dof at the noise floor), scale marginal tight.
-        ok = bool(res.ok) and float(res.s_var) < 0.15 and mean_e < 5.0
+        # Gate: converged (E/dof at the noise floor), scale marginal tight
+        # (threshold scaled by init_coarseScaleUncertaintyThresh).
+        ok = (bool(res.ok)
+              and float(res.s_var) < 0.15 * self.calib.coarse_scale_th
+              and mean_e < 5.0)
         return ok
 
     def activate(self, window_frames, slot_frame_ids, frame_vel_lookup):
@@ -534,6 +557,11 @@ class IMUSystem:
         IMUInitializerTransitions.h:62-163)."""
         if self.phase != ACTIVE or self.states is None:
             return False
+        if self.calib.transition_model == 5:
+            # ONLY_COARSE_IMU_INIT ablation: never run PGBA
+            # (IMUInitializerTransitions.h:142-163, configs/ablations/
+            # 4seasonsNoPGBA.yaml init_transitionModel: 5).
+            return False
         self.kf_since_pgba += 1
         if self.kf_since_pgba < every or len(self.delayed_log.events) < 8:
             return False
@@ -549,8 +577,10 @@ class IMUSystem:
         if res is None or not res.ok:
             return False
         # Absolute quality gate first (a PGBA over dozens of keyframes must
-        # constrain scale tightly), then require improvement over the best.
-        if not (res.s_var < 0.05 and res.s_var < self.best_pgba_var * 0.9):
+        # constrain scale tightly; threshold scaled by
+        # init_pgba_scaleUncertaintyThresh), then require improvement.
+        if not (res.s_var < 0.05 * self.calib.pgba_scale_th
+                and res.s_var < self.best_pgba_var * 0.9):
             return False
         self.best_pgba_var = res.s_var
         # Adopt scale/gravity (prior centers move with the FEJ mirrors) and
@@ -578,8 +608,14 @@ class IMUSystem:
         self.g2 = np.asarray(res.g2)
         # Marginalization replacement: the old prior carries information
         # linearized at the pre-PGBA scale/gravity; re-derive it from the
-        # delayed log at the adopted values.
-        self.replace_prior_from_log(frames_dev, slot_fids, res)
+        # delayed log at the adopted values. Ablations: model 1 never
+        # replaces; model 4 skips the FIRST (initial) replacement only
+        # (CombinedTransitionModelNoInitialMarginalizationReplacement).
+        first = not getattr(self, "_pgba_adopted_once", False)
+        self._pgba_adopted_once = True
+        tm = self.calib.transition_model
+        if tm != 1 and not (tm == 4 and first):
+            self.replace_prior_from_log(frames_dev, slot_fids, res)
         return True
 
     def reinit_coarse_from_ba(self, R_cw, t_cw, slot: int) -> None:

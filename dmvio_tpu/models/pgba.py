@@ -234,8 +234,8 @@ def _pair_residual_np(p: SymbolicPair, states: Dict[int, KFState],
         np.asarray(pre["cov"]) + infl + 1e-14 * np.eye(9)))
     dt = float(pre["dt"])
     Wb = np.diag(np.concatenate([
-        np.full(3, 1.0 / (8e-5 * np.sqrt(max(dt, 1e-6)))),
-        np.full(3, 1.0 / (3e-3 * np.sqrt(max(dt, 1e-6))))]))
+        np.full(3, 1.0 / (P.NOISE.sigma_gyro_walk * np.sqrt(max(dt, 1e-6)))),
+        np.full(3, 1.0 / (P.NOISE.sigma_acc_walk * np.sqrt(max(dt, 1e-6))))]))
     R_g = vc._exp_so3(np.array([g2[0], g2[1], 0.0]))
     s = np.exp(s_log)
     Rb_i, pb_i = vc.dso_to_body_np(sti.R_cw, sti.t_cw, s, R_g,

@@ -504,6 +504,14 @@ def schur_out_np(HM: "np.ndarray", bM: "np.ndarray", marg: "np.ndarray"):
     k = ~m
     HM = np.asarray(HM, np.float64)
     bM = np.asarray(bM, np.float64)
+    if not (np.all(np.isfinite(HM)) and np.all(np.isfinite(bM))):
+        # A poisoned prior must not crash the eigensolver. Dropping the
+        # non-finite information (zeroing the marginalized coords) keeps
+        # the run alive; the map-dead/full-reset machinery recovers the
+        # rest (the reference aborts outright on NaN, CoarseIMULogic.cpp:
+        # 134-138 — we degrade instead).
+        HM = np.nan_to_num(HM, nan=0.0, posinf=0.0, neginf=0.0)
+        bM = np.nan_to_num(bM, nan=0.0, posinf=0.0, neginf=0.0)
     Hbb = HM[np.ix_(m, m)]
     Hbb = 0.5 * (Hbb + Hbb.T)
     evals, evecs = np.linalg.eigh(Hbb)

@@ -144,9 +144,12 @@ def predict(state: CoarseIMUState, pre: dict,
     # is tiny; exactness > elegance here).
     W9 = np.linalg.inv(np.linalg.cholesky(
         pre["cov"] + 1e-14 * np.eye(9)))
+    from dmvio_tpu.ops import preint as _P
     Wb = np.diag(np.concatenate([
-        np.full(3, 1.0 / (8.0e-5 * np.sqrt(max(dt, 1e-6)))),
-        np.full(3, 1.0 / (3.0e-3 * np.sqrt(max(dt, 1e-6)))),
+        np.full(3, 1.0 / (_P.NOISE.sigma_gyro_walk
+                          * np.sqrt(max(dt, 1e-6)))),
+        np.full(3, 1.0 / (_P.NOISE.sigma_acc_walk
+                          * np.sqrt(max(dt, 1e-6)))),
     ]))
 
     def residual(z):

@@ -27,6 +27,42 @@ from dmvio_tpu.utils import lie
 GRAVITY = 9.8082  # reference IMUCalibration default (IMUSettings.h:126-135)
 
 
+class NoiseModel:
+    """Process-wide IMU noise model (the reference's IMUCalibration noise
+    block, IMUSettings.h:126-135, loaded from per-dataset YAMLs like
+    configs/tumvi.yaml). Continuous-time densities; covariance propagation
+    divides by dt per Forster-style discretization.
+
+    Values are read at TRACE time by the jitted paths, so `set_noise` must
+    run before the pipeline's first compute (it clears the preintegration
+    jit cache, but downstream jits that baked in bias-walk weights are only
+    rebuilt on process restart — set the noise model at startup)."""
+
+    sigma_gyro: float = 1.6968e-4
+    sigma_acc: float = 2.0e-3
+    sigma_gyro_walk: float = 8.0e-5
+    sigma_acc_walk: float = 3.0e-3
+    sigma_integration: float = 1e-8
+
+
+NOISE = NoiseModel()
+
+
+def set_noise(sigma_gyro=None, sigma_acc=None, sigma_gyro_walk=None,
+              sigma_acc_walk=None, sigma_integration=None) -> None:
+    """Install dataset noise densities (call before the first frame)."""
+    for k, v in [("sigma_gyro", sigma_gyro), ("sigma_acc", sigma_acc),
+                 ("sigma_gyro_walk", sigma_gyro_walk),
+                 ("sigma_acc_walk", sigma_acc_walk),
+                 ("sigma_integration", sigma_integration)]:
+        if v is not None:
+            setattr(NOISE, k, float(v))
+    try:
+        preintegrate_jit.clear_cache()
+    except Exception:
+        pass
+
+
 class PreintState(NamedTuple):
     """Preintegrated measurement between two stamps (at a bias lin point)."""
 
@@ -73,11 +109,15 @@ def preintegrate(
     gyr: jnp.ndarray,       # [N, 3] gyroscope (body), padded
     dts: jnp.ndarray,       # [N] integration intervals; 0 = padding
     bias: jnp.ndarray,      # [6] = [bg, ba] linearization point
-    sigma_gyro: float = 1.6968e-4,     # reference tumvi.yaml noise values
-    sigma_acc: float = 2.0e-3,
-    sigma_integration: float = 1e-8,
+    sigma_gyro: float = None,
+    sigma_acc: float = None,
+    sigma_integration: float = None,
 ) -> PreintState:
     """Scan all measurements into one PreintState."""
+    sigma_gyro = NOISE.sigma_gyro if sigma_gyro is None else sigma_gyro
+    sigma_acc = NOISE.sigma_acc if sigma_acc is None else sigma_acc
+    sigma_integration = (NOISE.sigma_integration
+                         if sigma_integration is None else sigma_integration)
     bg = bias[:3]
     ba = bias[3:6]
     cov_w = (sigma_gyro ** 2) * jnp.eye(3)
@@ -202,7 +242,7 @@ def preintegrate_np(acc, gyr, dts, bias):
 
     bg = np.asarray(bias[:3], np.float64)
     ba = np.asarray(bias[3:6], np.float64)
-    sg, sa, si = 1.6968e-4, 2.0e-3, 1e-8
+    sg, sa, si = NOISE.sigma_gyro, NOISE.sigma_acc, NOISE.sigma_integration
     dR = np.eye(3)
     dv = np.zeros(3)
     dp = np.zeros(3)
@@ -284,11 +324,15 @@ def preintegrate_np(acc, gyr, dts, bias):
 
 def bias_walk_sqrt_info(
     dt: jnp.ndarray,
-    sigma_gyro_walk: float = 8.0e-5,   # reference tumvi.yaml
-    sigma_acc_walk: float = 3.0e-3,
+    sigma_gyro_walk: float = None,
+    sigma_acc_walk: float = None,
 ) -> jnp.ndarray:
     """Sqrt information of the bias random-walk between-factor
     (computeBiasNoiseModel, IMUUtils.h:40)."""
+    sigma_gyro_walk = (NOISE.sigma_gyro_walk
+                       if sigma_gyro_walk is None else sigma_gyro_walk)
+    sigma_acc_walk = (NOISE.sigma_acc_walk
+                      if sigma_acc_walk is None else sigma_acc_walk)
     dt_safe = jnp.maximum(dt, 1e-6)
     sg = 1.0 / (sigma_gyro_walk * jnp.sqrt(dt_safe))
     sa = 1.0 / (sigma_acc_walk * jnp.sqrt(dt_safe))

@@ -35,6 +35,18 @@ def run(argv=None) -> dict:
         ("resultsPrefix", "./"), ("settingsFile", ""), ("camchain", ""),
         ("preset", 0), ("nogui", 1), ("quiet", 0), ("useimu", 0),
         ("maxFrames", -1), ("start", 0), ("nativeLoader", 1),
+        # IMU noise model + init knobs under the REFERENCE's yaml names so
+        # the stock per-dataset configs (configs/tumvi.yaml etc.) apply
+        # unchanged (IMUSettings.h:126-135, IMUInitSettings.h:64-65).
+        ("accelerometer_noise_density", 2.0e-3),
+        ("gyroscope_noise_density", 1.6968e-4),
+        ("accelerometer_random_walk", 3.0e-3),
+        ("gyroscope_random_walk", 8.0e-5),
+        ("integration_sigma", 1e-8),
+        ("init_transitionModel", 2),
+        ("init_coarseScaleUncertaintyThresh", 1.0),
+        ("init_pgba_scaleUncertaintyThresh", 1.0),
+        ("init_pgba_reinitScaleUncertaintyThresh", 0.5),
     ]:
         su.register(name, default)
     cfg = window.Config()
@@ -81,7 +93,16 @@ def run(argv=None) -> dict:
     if su["useimu"] and reader.imu is not None:
         from dmvio_tpu.models.imu_system import IMUCalib
 
-        imu_calib = IMUCalib()
+        imu_calib = IMUCalib(
+            sigma_acc=su["accelerometer_noise_density"],
+            sigma_gyro=su["gyroscope_noise_density"],
+            sigma_acc_walk=su["accelerometer_random_walk"],
+            sigma_gyro_walk=su["gyroscope_random_walk"],
+            sigma_integration=su["integration_sigma"],
+            transition_model=su["init_transitionModel"],
+            coarse_scale_th=su["init_coarseScaleUncertaintyThresh"],
+            pgba_scale_th=su["init_pgba_scaleUncertaintyThresh"],
+        )
         if su["camchain"]:
             import yaml
             import numpy as _np
