@@ -72,8 +72,11 @@ def main():
     if os.environ.get("BENCH_VERBOSE"):
         from dmvio_tpu.utils.timing import get_stats
         for k, v in sorted(get_stats().items()):
-            print(f"#   {k}: n={v['n']} mean={v['mean']*1e3:.1f}ms "
-                  f"max={v['max']*1e3:.1f}ms", file=sys.stderr)
+            top = ",".join(f"{s*1e3:.0f}" for s in
+                           sorted(v["samples"], reverse=True)[:4])
+            print(f"#   {k}: n={v['n']} med={v['median']*1e3:.1f}ms "
+                  f"mean={v['mean']*1e3:.1f}ms top=[{top}]ms",
+                  file=sys.stderr)
     print(json.dumps({
         "metric": "vo_frames_per_second_512x512",
         "value": round(fps, 3),

@@ -35,8 +35,11 @@ class Output3DWrapper:
         """The raw tracked frame (pushLiveFrame)."""
 
     def push_depth_image(self, frame_id: int, u: np.ndarray, v: np.ndarray,
-                         idepth: np.ndarray) -> None:
-        """Sparse inverse-depth map of the newest KF (pushDepthImage)."""
+                         idepth: np.ndarray, img=None) -> None:
+        """Sparse inverse-depth map of the newest KF (pushDepthImage);
+        `img` is the KF's level-0 image when available. Only published
+        when a subscribed wrapper sets wants_depth_images (saves one
+        device fetch per keyframe otherwise)."""
 
     def publish_system_status(self, status: int) -> None:
         """VISUAL_INIT / VISUAL_ONLY / VISUAL_INERTIAL / RESETTING

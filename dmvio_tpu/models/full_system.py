@@ -269,8 +269,9 @@ class FullSystem:
     def _rt_consume(self, p) -> None:
         """Finish a pipelined frame: host bookkeeping + keyframe decision
         from its (by now transferred) packed stats."""
-        pk = coarse_tracker.PackedTrack(jax.device_get(p["packed"]),
-                                        self.cfg.levels)
+        with TimeMeasurement("track_fetch"):
+            pk = coarse_tracker.PackedTrack(jax.device_get(p["packed"]),
+                                            self.cfg.levels)
         if not pk.any_valid:
             res_r, pk_r = self._rescue_track(p["pyr"])
             if pk_r.any_valid:
@@ -690,9 +691,12 @@ class FullSystem:
         self._imu_set_fej(slot)
         # ONE batched device_get carries the marginalization stats AND the
         # window poses (each extra sync costs a full tunnel round trip).
-        stats_np, pose_pack_np = jax.device_get(
-            (window_ops.marg_stats(w.frames, w.points, w.pair_mask),
-             window_ops.kf_pose_pack(w.frames)))
+        # This blocking fetch also absorbs the BA's actual device time
+        # (dispatches above are async) — instrumented separately.
+        with TimeMeasurement("kf_sync_stats"):
+            stats_np, pose_pack_np = jax.device_get(
+                (window_ops.marg_stats(w.frames, w.points, w.pair_mask),
+                 window_ops.kf_pose_pack(w.frames)))
         F = cfg.f_max
         n_after = float(stats_np[4 * F])
         if self._n_active > 60 and n_after < max(40.0, 0.15 * self._n_active):
@@ -718,8 +722,31 @@ class FullSystem:
             self._spawn_immatures(slot, pyr)
 
         if self.output_wrappers:
+            # Window co-visibility graph (publishGraph): every pair of
+            # active keyframes shares observations by construction of the
+            # dense host x target residual incidence.
+            win_fids = [f for f in w.slot_frame_id if f is not None]
+            conn = {f: [g for g in win_fids if g != f] for f in win_fids}
+            depth_pack = None
+            if any(getattr(w_, "wants_depth_images", False)
+                   for w_ in self.output_wrappers):
+                # One extra fetch per KF, only when a viewer asks
+                # (pushDepthImage, Output3DWrapper.h:212).
+                u_d, v_d, d_d, m_d, img_d = self._ref_depth_dev
+                u_np, v_np, d_np, m_np, img_np = jax.device_get(
+                    (u_d, v_d, d_d, m_d, img_d))
+                sel = np.asarray(m_np, bool)
+                img_np = np.asarray(img_np)
+                if img_np.ndim == 3:      # pyramid level: [3(I,gx,gy),H,W]
+                    img_np = img_np[0]
+                depth_pack = (np.asarray(u_np)[sel], np.asarray(v_np)[sel],
+                              np.asarray(d_np)[sel], img_np)
             for w_ in self.output_wrappers:
                 w_.publish_keyframes(dict(self.kf_poses))
+                w_.publish_graph(conn)
+                if depth_pack is not None:
+                    w_.push_depth_image(fid, depth_pack[0], depth_pack[1],
+                                        depth_pack[2], img=depth_pack[3])
                 if self._vio_mode():
                     w_.publish_transform_dso_to_imu(
                         float(np.exp(self.imu.s_log)), self.imu.g2)
@@ -899,9 +926,10 @@ class FullSystem:
         # stats cannot see). Each avoided sync is a tunnel round trip.
         w.points, w.pair_mask = window_ops.drop_points_mask(
             w.points, pair_rows_cleared, hosted)
-        HM_np, bM_np, n_after = jax.device_get(
-            (HM_add, bM_add,
-             jnp.sum(w.points.mask.astype(jnp.float32))))
+        with TimeMeasurement("marg_sync"):
+            HM_np, bM_np, n_after = jax.device_get(
+                (HM_add, bM_add,
+                 jnp.sum(w.points.mask.astype(jnp.float32))))
         self._n_active = float(n_after)
         if vio:
             HM_add_np = np.asarray(HM_np, np.float64)
@@ -1060,6 +1088,10 @@ class FullSystem:
         m_c = w.points.mask & (hosted_j | valid)
         self.tracker_ref = _make_ref_jit(
             w.pyramids[slot], w.calib, u_c, v_c, d_c, m_c)
+        # Device refs for the (gated) depth-map publish — free unless a
+        # viewer asks (wants_depth_images), in which case _make_keyframe
+        # fetches them once per KF.
+        self._ref_depth_dev = (u_c, v_c, d_c, m_c, w.pyramids[slot][0])
         if pose_pack is None:
             pose_pack = jax.device_get(window_ops.kf_pose_pack(w.frames))
         R_new_ref = pose_pack[:9 * F].reshape(F, 3, 3)[slot]

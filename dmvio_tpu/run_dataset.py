@@ -115,6 +115,14 @@ def run(argv=None) -> dict:
             imu_calib.t_cb = T[:3, 3]
     fs = full_system.FullSystem(reader.undist.K_out, h, w, cfg,
                                 imu_calib=imu_calib)
+    viewer = None
+    if not su["nogui"]:
+        # Headless viewer (the reference opens a Pangolin window here;
+        # we render the same content into resultsPrefix + viz/).
+        from dmvio_tpu.io.viewer import HeadlessViewer
+
+        viewer = HeadlessViewer(su["resultsPrefix"] + "viz")
+        fs.output_wrappers.append(viewer)
 
     n = len(reader)
     if su["maxFrames"] > 0:
@@ -152,6 +160,10 @@ def run(argv=None) -> dict:
         trajectory.write_tum(prefix + "resultScaled.txt", metric)
     save_results(prefix + "timings.txt")
     su.print_all(open(prefix + "usedSettings.txt", "w").write)
+    if viewer is not None:
+        viewer.join()
+        if not su["quiet"]:
+            print(f"visualization written to {prefix}viz/index.html")
 
     n_proc = n - su["start"]
     fps = n_proc / wall if wall > 0 else 0.0

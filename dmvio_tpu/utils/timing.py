@@ -13,14 +13,18 @@ import time
 from typing import Dict
 
 
+_SAMPLE_CAP = 1024   # raw samples kept per name (median/percentiles)
+
+
 class _Stat:
-    __slots__ = ("n", "mean", "m2", "max")
+    __slots__ = ("n", "mean", "m2", "max", "samples")
 
     def __init__(self):
         self.n = 0
         self.mean = 0.0
         self.m2 = 0.0
         self.max = 0.0
+        self.samples = []
 
     def add(self, x: float):
         self.n += 1
@@ -28,10 +32,19 @@ class _Stat:
         self.mean += d / self.n
         self.m2 += d * (x - self.mean)
         self.max = max(self.max, x)
+        if len(self.samples) < _SAMPLE_CAP:
+            self.samples.append(x)
 
     @property
     def var(self):
         return self.m2 / self.n if self.n > 1 else 0.0
+
+    @property
+    def median(self):
+        if not self.samples:
+            return 0.0
+        s = sorted(self.samples)
+        return s[len(s) // 2]
 
 
 _stats: Dict[str, _Stat] = {}
@@ -80,5 +93,6 @@ def reset() -> None:
 
 def get_stats() -> Dict[str, dict]:
     with _lock:
-        return {k: {"n": v.n, "mean": v.mean, "max": v.max, "var": v.var}
+        return {k: {"n": v.n, "mean": v.mean, "max": v.max, "var": v.var,
+                    "median": v.median, "samples": list(v.samples)}
                 for k, v in _stats.items()}
