@@ -24,11 +24,16 @@ import numpy as np
 
 def main():
     from dmvio_tpu.models import full_system, window
-    from dmvio_tpu.utils import lie, synthetic
+    from dmvio_tpu.utils import jax_cache, lie, synthetic
     from dmvio_tpu.utils.camera import Calib
 
+    jax_cache.enable()   # compiles persist across runs (like shipped C++)
+
     H = W = 512
-    N_WARM = 12     # covers init + first KFs (all program compilations)
+    N_WARM = 12     # minimum warmup; extended until the first KFs exist so
+                    # every program (init, track, trace, BA, marg) is
+                    # compiled before the timed region
+    N_WARM_MAX = 40
     N_MEAS = 72     # long window: the device link's latency jitter (rare
                     # multi-second stalls) must average out
 
@@ -50,18 +55,26 @@ def main():
     fs = full_system.FullSystem(calib, H, W, cfg)
 
     frames = []
-    for i in range(N_WARM + N_MEAS):
+    for i in range(N_WARM_MAX + N_MEAS):
         R, t = pose(i)
         frames.append(synthetic.render(scene, R, t, calib, H, W))
     jax.block_until_ready(frames[-1])
 
-    for i in range(N_WARM):
+    # Warm until the window holds several keyframes: only then have all
+    # steady-state programs (track, trace, activate, BA, marginalize,
+    # tracker-ref) been compiled. Keyframe cadence is data-dependent, so
+    # the warmup length is too (bounded by N_WARM_MAX).
+    n_warm = 0
+    for i in range(N_WARM_MAX):
         fs.add_frame(frames[i], timestamp=i * 0.05)
+        n_warm += 1
+        if n_warm >= N_WARM and fs.initialized and fs.stats_kf >= 5:
+            break
     if not fs.initialized:
         raise RuntimeError("benchmark pipeline failed to initialize")
 
     t0 = time.perf_counter()
-    for i in range(N_WARM, N_WARM + N_MEAS):
+    for i in range(n_warm, n_warm + N_MEAS):
         fs.add_frame(frames[i], timestamp=i * 0.05)
     fs.finish()   # flush the realtime pipeline inside the timed region
     dt = time.perf_counter() - t0

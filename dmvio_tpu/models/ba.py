@@ -212,3 +212,54 @@ def marginalization_update(
 
 
 marginalization_update_jit = jax.jit(marginalization_update)
+
+
+def select_victims(frames: BAFrames, age_rank: jnp.ndarray,
+                   n_drop: jnp.ndarray, newest_slot) -> jnp.ndarray:
+    """Device-side marginalization victim selection.
+
+    The reference's flagFramesForMarginalization distance heuristic
+    (FullSystemMarginalize.cpp:61): drop the n_drop eligible frames with
+    the smallest score -sqrt(d_latest) * sum_j 1/(eps + d_j). Eligible =
+    occupied and not among the two newest (age_rank, host-provided from
+    slot bookkeeping — no fetch). Returns a [F] slot list padded with -1.
+    """
+    F = frames.mask.shape[0]
+    occ = frames.mask
+    t = frames.t_cw
+    diff = t[:, None, :] - t[None, :, :]
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+    off_diag = jnp.arange(F)[:, None] != jnp.arange(F)[None, :]
+    inv = jnp.where(occ[None, :] & off_diag, 1.0 / (1e-5 + dist), 0.0)
+    score = -jnp.sqrt(dist[:, newest_slot]) * jnp.sum(inv, axis=1)
+    n_occ = jnp.sum(occ.astype(jnp.int32))
+    eligible = occ & (age_rank >= 0) & (age_rank < n_occ - 2)
+    order = jnp.argsort(jnp.where(eligible, score, jnp.inf))
+    return jnp.where(jnp.arange(F) < n_drop, order, -1)
+
+
+def marg_fused(problem: BAProblem, images: jnp.ndarray,
+               age_rank: jnp.ndarray, n_drop: jnp.ndarray, newest_slot):
+    """Victim selection + point-marginalization fold + point drop in ONE
+    program, so the whole keyframe pipeline costs a single device fetch
+    (each blocking fetch is a full tunnel round trip).
+
+    Returns (vlist [F], HM_add, bM_add, points_new, pair_mask_new,
+    n_active_pre, n_active_post). With n_drop == 0 everything degenerates
+    to zeros/no-ops — one compilation covers every keyframe.
+    """
+    from dmvio_tpu.models import window_ops
+
+    F = problem.frames.mask.shape[0]
+    vlist = select_victims(problem.frames, age_rank, n_drop, newest_slot)
+    hosted, marg_pts, pm_cleared = window_ops.victims_masks(
+        problem.points, problem.pair_mask, vlist)
+    HM_add, bM_add = marginalization_update(problem, images, marg_pts)
+    n_pre = jnp.sum(problem.points.mask.astype(jnp.float32))
+    points_new, pm_new = window_ops.drop_points_mask(
+        problem.points, pm_cleared, hosted)
+    n_post = jnp.sum(points_new.mask.astype(jnp.float32))
+    return vlist, HM_add, bM_add, points_new, pm_new, n_pre, n_post
+
+
+marg_fused_jit = jax.jit(marg_fused)

@@ -244,10 +244,11 @@ class FullSystem:
             jnp.asarray(self.last_rho, jnp.float32),
             jnp.asarray(self.last_b, jnp.float32),
             jnp.asarray(gate, jnp.float32), levels=self.cfg.levels)
-        try:
-            packed.copy_to_host_async()
-        except Exception:
-            pass
+        # NOTE: no copy_to_host_async here — under the axon TPU tunnel its
+        # first use stalls the process for minutes (measured 86-600s), and
+        # when it does not stall it buys nothing over a settled device_get
+        # (~30ms round trip). The pipeline overlaps the round trip with the
+        # next frame's dispatches instead.
         R_cw, t_cw, aff_new = window_ops.compose_abs_pose(
             res.R, res.t, res.rho, res.b_aff, self.win.frames,
             self.ref_kf_slot)
@@ -430,10 +431,6 @@ class FullSystem:
             jnp.asarray(self.last_rho, jnp.float32),
             jnp.asarray(self.last_b, jnp.float32),
             jnp.asarray(gate, jnp.float32), levels=self.cfg.levels)
-        try:
-            packed.copy_to_host_async()
-        except Exception:
-            pass
         R_cw, t_cw, aff_new = window_ops.compose_abs_pose(
             res.R, res.t, res.rho, res.b_aff, self.win.frames,
             self.ref_kf_slot)
@@ -689,33 +686,40 @@ class FullSystem:
             self._run_ba(max_iters=cfg.ba_iters)
         w.frames = window_ops.set_fej_current(w.frames, slot)
         self._imu_set_fej(slot)
-        # ONE batched device_get carries the marginalization stats AND the
-        # window poses (each extra sync costs a full tunnel round trip).
-        # This blocking fetch also absorbs the BA's actual device time
-        # (dispatches above are async) — instrumented separately.
-        with TimeMeasurement("kf_sync_stats"):
-            stats_np, pose_pack_np = jax.device_get(
-                (window_ops.marg_stats(w.frames, w.points, w.pair_mask),
-                 window_ops.kf_pose_pack(w.frames)))
         F = cfg.f_max
-        n_after = float(stats_np[4 * F])
-        if self._n_active > 60 and n_after < max(40.0, 0.15 * self._n_active):
-            # The BA flagged (nearly) the whole map as outliers — that is a
-            # diverged optimization, not a map update. Revert it entirely
-            # (the reference aborts via initFailed/reset in this regime).
-            w.frames, w.points, w.pair_mask, w.calib = snap[:4]
-            if self.imu is not None and snap[4] is not None:
-                self.imu.states = snap[4]
-            self.calib = w.calib
-            w.frames = window_ops.set_fej_current(w.frames, slot)
-            stats_np, pose_pack_np = jax.device_get(
-                (window_ops.marg_stats(w.frames, w.points, w.pair_mask),
-                 window_ops.kf_pose_pack(w.frames)))
+        if not self._vio_mode():
+            # Visual path: victim selection + point-marg fold + drops all
+            # run ON DEVICE (ba.marg_fused), so the entire keyframe tail
+            # costs ONE blocking fetch — which also absorbs the BA's
+            # device time (dispatches above are async).
+            pose_pack_np = self._kf_fused_tail(slot, snap)
+            pose_pack = self._record_kf_poses(pose_pack_np)
+        else:
+            # VIO path: the extended-state marginalization still uses the
+            # stats-fetch flow (several host float64 stages).
+            with TimeMeasurement("kf_sync_stats"):
+                stats_np, pose_pack_np = jax.device_get(
+                    (window_ops.marg_stats(w.frames, w.points, w.pair_mask),
+                     window_ops.kf_pose_pack(w.frames)))
             n_after = float(stats_np[4 * F])
-        self._n_active = n_after
-        pose_pack = self._record_kf_poses(pose_pack_np)
-        with TimeMeasurement("marginalize"):
-            self._marginalize(slot, stats_np)
+            if self._n_active > 60 and \
+                    n_after < max(40.0, 0.15 * self._n_active):
+                # The BA flagged (nearly) the whole map as outliers — a
+                # diverged optimization, not a map update. Revert it
+                # entirely (the reference aborts via initFailed/reset).
+                w.frames, w.points, w.pair_mask, w.calib = snap[:4]
+                if self.imu is not None and snap[4] is not None:
+                    self.imu.states = snap[4]
+                self.calib = w.calib
+                w.frames = window_ops.set_fej_current(w.frames, slot)
+                stats_np, pose_pack_np = jax.device_get(
+                    (window_ops.marg_stats(w.frames, w.points, w.pair_mask),
+                     window_ops.kf_pose_pack(w.frames)))
+                n_after = float(stats_np[4 * F])
+            self._n_active = n_after
+            pose_pack = self._record_kf_poses(pose_pack_np)
+            with TimeMeasurement("marginalize"):
+                self._marginalize(slot, stats_np)
         with TimeMeasurement("tracker_ref"):
             self._set_tracker_ref(slot, fid, pose_pack)
         with TimeMeasurement("spawn_immatures"):
@@ -965,6 +969,79 @@ class FullSystem:
         self.imm = self.imm._replace(mask=self.imm.mask & ~is_victim)
         w.points, w.pair_mask = window_ops.post_ba_update(
             w.points, w.pair_mask, jnp.zeros_like(w.pair_mask))
+
+    def _kf_fused_tail(self, newest_slot: int, snap) -> np.ndarray:
+        """Single-sync visual keyframe tail: device victim selection +
+        point marginalization + drops (ba.marg_fused), one blocking fetch,
+        then host prior algebra. Returns the pose pack. The rare
+        divergence revert costs one extra fetch."""
+        w = self.win
+        cfg = self.cfg
+        F = cfg.f_max
+
+        def dispatch():
+            slots = w.slots_by_age()
+            age_rank = np.full(F, -1, np.int32)
+            for r_, s_ in enumerate(slots):
+                age_rank[s_] = r_
+            n_drop = max(0, len(slots) - cfg.max_frames) \
+                if len(slots) > 2 else 0
+            problem = ba.BAProblem(
+                frames=w.frames, points=w.points, calib=w.calib,
+                calib0=w.calib0, HM=jnp.asarray(w.HM, jnp.float32),
+                bM0=jnp.asarray(w.bM0, jnp.float32),
+                prior_diag=w.prior_diag, pair_mask=w.pair_mask)
+            out = ba.marg_fused_jit(
+                problem, w.images, jnp.asarray(age_rank),
+                jnp.asarray(n_drop, jnp.int32), newest_slot)
+            vlist_d, HM_d, bM_d, pts_d, pm_d, n_pre_d, n_post_d = out
+            # Fetch ONLY the small pieces; the updated point arrays stay
+            # on device.
+            with TimeMeasurement("kf_sync_stats"):
+                fetched = jax.device_get(
+                    (vlist_d, HM_d, bM_d, n_pre_d, n_post_d,
+                     window_ops.kf_pose_pack(w.frames)))
+            return fetched, (pts_d, pm_d)
+
+        fetched, (pts_new_d, pm_new_d) = dispatch()
+        vlist, HM_np, bM_np, n_pre, n_post, pose_pack_np = fetched
+        if self._n_active > 60 and \
+                float(n_pre) < max(40.0, 0.15 * self._n_active):
+            # Diverged BA: restore the snapshot and redo the tail on the
+            # restored window (reference initFailed/reset regime).
+            w.frames, w.points, w.pair_mask, w.calib = snap[:4]
+            self.calib = w.calib
+            w.frames = window_ops.set_fej_current(w.frames, newest_slot)
+            fetched, (pts_new_d, pm_new_d) = dispatch()
+            vlist, HM_np, bM_np, n_pre, n_post, pose_pack_np = fetched
+
+        self._n_active = float(n_post)
+        with TimeMeasurement("marginalize"):
+            w.points, w.pair_mask = pts_new_d, pm_new_d
+            w.HM = w.HM + np.asarray(HM_np, np.float64)
+            w.bM0 = w.bM0 + np.asarray(bM_np, np.float64)
+            victims = [int(s_) for s_ in vlist if s_ >= 0]
+            Cv = ba_solve.cdim(F)
+            for s_ in victims:
+                w.frame_prior_into_HM(s_)
+                i0 = ba_solve.CPART + 8 * s_
+                mmask = np.zeros(Cv, bool)
+                mmask[i0:i0 + 8] = True
+                w.HM, w.bM0 = vio_ba.schur_out_np(w.HM, w.bM0, mmask)
+                w.frames, w.pair_mask = window_ops.drop_frame_slot(
+                    w.frames, w.pair_mask, s_)
+                w.pyramids[s_] = None
+                w.slot_frame_id[s_] = None
+            if victims:
+                vl = jnp.asarray(np.asarray(vlist))
+                is_victim = jnp.any(
+                    self.imm.host[None, :] == vl[:, None], axis=0)
+                self.imm = self.imm._replace(
+                    mask=self.imm.mask & ~is_victim)
+                # Orphaned points (all pairs died with the victims).
+                w.points, w.pair_mask = window_ops.post_ba_update(
+                    w.points, w.pair_mask, jnp.zeros_like(w.pair_mask))
+        return pose_pack_np
 
     def _active_visual_event(self):
         """The active window's reduced visual system as a quadratic over

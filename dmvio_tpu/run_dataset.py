@@ -24,9 +24,11 @@ def run(argv=None) -> dict:
     argv = argv if argv is not None else sys.argv[1:]
     from dmvio_tpu.io import dataset as ds
     from dmvio_tpu.models import full_system, window
-    from dmvio_tpu.utils import trajectory
+    from dmvio_tpu.utils import jax_cache, trajectory
     from dmvio_tpu.utils.settings import SettingsUtil
     from dmvio_tpu.utils.timing import TimeMeasurement, save_results
+
+    jax_cache.enable()
 
     su = SettingsUtil()
     for name, default in [
