@@ -70,6 +70,10 @@ class FullSystem:
         self.cfg = cfg or window.Config()
         self.imu = (imu_system.IMUSystem(imu_calib, self.cfg.f_max)
                     if imu_calib is not None else None)
+        if self.imu is not None:
+            # Realtime mode runs PGBA on a background thread (the
+            # reference's RealtimePGBAState); non-RT stays deterministic.
+            self.imu.pgba_background = bool(self.cfg.realtime)
         self.calib = calib
         self.h, self.w = h, w
         self.win = window.Window(calib, h, w, self.cfg)
@@ -108,6 +112,7 @@ class FullSystem:
         self.output_wrappers = []
         self._published_status = -1
         self._rt_pending = None   # in-flight frame (realtime pipeline)
+        self._kf_finalize = None  # deferred keyframe tail (realtime)
 
     # ------------------------------------------------------------------
     def add_frame(self, img: jnp.ndarray, timestamp: float,
@@ -225,6 +230,10 @@ class FullSystem:
     # old reference until the switch (the reference's tracker
     # double-buffering, FullSystem.cpp:978-1002).
     def _rt_frame(self, pyr, ts, fid) -> None:
+        # Finish the previous keyframe FIRST: its fetch has settled by now
+        # and the host caches (ref pose, motion rebase, prior) must be
+        # fresh before this frame's candidates are built.
+        self._finalize_kf()
         mR, mt = self.motion
         lR, lt = self.T_last_ref
         R_c = np.zeros((4, 3, 3), np.float32)
@@ -337,8 +346,9 @@ class FullSystem:
             if self._rt_pending is not None:
                 self.imm = self._rt_pending["imm_before"]
             with TimeMeasurement("keyframe_total"):
-                self._make_keyframe(p["pyr"], p["ts"], p["fid"],
-                                    p["R_cw"], p["t_cw"], p["aff"])
+                self._make_keyframe_rt(p["pyr"], p["ts"], p["fid"],
+                                       p["R_cw"], p["t_cw"], p["aff"],
+                                       shell_idx=p["shell_idx"])
             # The in-flight frame was dispatched against the PRE-keyframe
             # reference; its flow stats (and pose basin) are stale. Re-issue
             # its tracking against the fresh reference — an extra device
@@ -411,40 +421,40 @@ class FullSystem:
 
     def _rt_redispatch(self, p) -> None:
         """Re-track the in-flight frame against the (just switched)
-        tracking reference, replacing its pending results in place."""
-        lR, lt = self.T_last_ref
-        mR, mt = self.motion
-        R_c = np.zeros((4, 3, 3), np.float32)
-        t_c = np.zeros((4, 3), np.float32)
-        mask_c = np.zeros(4, bool)
-        R_c[0] = np.eye(3)
-        R_c[1] = mR @ lR
-        t_c[1] = mR @ lt + mt
-        R_c[2] = lR
-        t_c[2] = lt
-        R_c[3] = np.eye(3)
-        mask_c[1:] = True
+        tracking reference, replacing its pending results in place.
+
+        The new reference's pose has NOT reached the host yet (deferred
+        keyframe): the candidate batch is computed ON DEVICE from the
+        in-flight frame's own absolute pose + the new KF's window pose
+        (window_ops.rel_candidates); the host pose cache is patched in
+        when the keyframe finalizes — before this frame is consumed."""
+        R_c, t_c, mask_c = window_ops.rel_candidates(
+            p["R_cw"], p["t_cw"], self.win.frames, self.ref_kf_slot)
         gate = 1.5 * self.track_energy_ref + 0.5
         res, packed = coarse_tracker.track_multi_jit(
             self.tracker_ref, p["pyr"], self.calib,
-            jnp.asarray(R_c), jnp.asarray(t_c), jnp.asarray(mask_c),
-            jnp.asarray(self.last_rho, jnp.float32),
-            jnp.asarray(self.last_b, jnp.float32),
+            R_c, t_c, mask_c,
+            jnp.asarray(0.0, jnp.float32),
+            jnp.asarray(0.0, jnp.float32),
             jnp.asarray(gate, jnp.float32), levels=self.cfg.levels)
         R_cw, t_cw, aff_new = window_ops.compose_abs_pose(
             res.R, res.t, res.rho, res.b_aff, self.win.frames,
             self.ref_kf_slot)
         p.update(packed=packed, ref_kf_id=self.ref_kf_id,
-                 ref_pose=self.ref_pose_np,
+                 ref_pose=None,   # patched by _finalize_kf
                  R_cw=R_cw, t_cw=t_cw, aff=aff_new, imm_before=self.imm)
         self._trace_pool(R_cw, t_cw, aff_new, p["pyr"])
 
     def finish(self) -> None:
-        """Flush the realtime pipeline (consume the in-flight frame)."""
+        """Flush the realtime pipeline (finalize the deferred keyframe,
+        consume the in-flight frame, finalize again if consuming created
+        another keyframe)."""
+        self._finalize_kf()
         p = self._rt_pending
         if p is not None:
             self._rt_pending = None
             self._rt_consume(p)
+        self._finalize_kf()
 
     # ------------------------------------------------------------------
     def _full_reset(self, pyr, timestamp, fid) -> None:
@@ -453,6 +463,7 @@ class FullSystem:
         self.stats_resets += 1
         self._consec_lost = 0
         self._rt_pending = None   # in-flight frame belongs to the dead map
+        self._kf_finalize = None  # so does the deferred keyframe tail
         self.win = window.Window(self.calib, self.h, self.w, self.cfg)
         self.imm = immature.empty_pool(self.cfg.i_max)
         self.initialized = False
@@ -725,35 +736,7 @@ class FullSystem:
         with TimeMeasurement("spawn_immatures"):
             self._spawn_immatures(slot, pyr)
 
-        if self.output_wrappers:
-            # Window co-visibility graph (publishGraph): every pair of
-            # active keyframes shares observations by construction of the
-            # dense host x target residual incidence.
-            win_fids = [f for f in w.slot_frame_id if f is not None]
-            conn = {f: [g for g in win_fids if g != f] for f in win_fids}
-            depth_pack = None
-            if any(getattr(w_, "wants_depth_images", False)
-                   for w_ in self.output_wrappers):
-                # One extra fetch per KF, only when a viewer asks
-                # (pushDepthImage, Output3DWrapper.h:212).
-                u_d, v_d, d_d, m_d, img_d = self._ref_depth_dev
-                u_np, v_np, d_np, m_np, img_np = jax.device_get(
-                    (u_d, v_d, d_d, m_d, img_d))
-                sel = np.asarray(m_np, bool)
-                img_np = np.asarray(img_np)
-                if img_np.ndim == 3:      # pyramid level: [3(I,gx,gy),H,W]
-                    img_np = img_np[0]
-                depth_pack = (np.asarray(u_np)[sel], np.asarray(v_np)[sel],
-                              np.asarray(d_np)[sel], img_np)
-            for w_ in self.output_wrappers:
-                w_.publish_keyframes(dict(self.kf_poses))
-                w_.publish_graph(conn)
-                if depth_pack is not None:
-                    w_.push_depth_image(fid, depth_pack[0], depth_pack[1],
-                                        depth_pack[2], img=depth_pack[3])
-                if self._vio_mode():
-                    w_.publish_transform_dso_to_imu(
-                        float(np.exp(self.imu.s_log)), self.imu.g2)
+        self._publish_keyframe_events()
 
         if self.imu is not None:
             if self.imu.phase == imu_system.COARSE_INIT:
@@ -980,20 +963,7 @@ class FullSystem:
         F = cfg.f_max
 
         def dispatch():
-            slots = w.slots_by_age()
-            age_rank = np.full(F, -1, np.int32)
-            for r_, s_ in enumerate(slots):
-                age_rank[s_] = r_
-            n_drop = max(0, len(slots) - cfg.max_frames) \
-                if len(slots) > 2 else 0
-            problem = ba.BAProblem(
-                frames=w.frames, points=w.points, calib=w.calib,
-                calib0=w.calib0, HM=jnp.asarray(w.HM, jnp.float32),
-                bM0=jnp.asarray(w.bM0, jnp.float32),
-                prior_diag=w.prior_diag, pair_mask=w.pair_mask)
-            out = ba.marg_fused_jit(
-                problem, w.images, jnp.asarray(age_rank),
-                jnp.asarray(n_drop, jnp.int32), newest_slot)
+            out = self._dispatch_marg_fused(newest_slot)
             vlist_d, HM_d, bM_d, pts_d, pm_d, n_pre_d, n_post_d = out
             # Fetch ONLY the small pieces; the updated point arrays stay
             # on device.
@@ -1016,6 +986,36 @@ class FullSystem:
             vlist, HM_np, bM_np, n_pre, n_post, pose_pack_np = fetched
 
         self._n_active = float(n_post)
+        self._apply_marg_host(vlist, HM_np, bM_np, pts_new_d, pm_new_d)
+        return pose_pack_np
+
+    def _dispatch_marg_fused(self, newest_slot: int):
+        """Dispatch the fused marg-tail program (no fetch): victim
+        selection from host slot ages, point-marg fold, drops."""
+        w = self.win
+        cfg = self.cfg
+        F = cfg.f_max
+        slots = w.slots_by_age()
+        age_rank = np.full(F, -1, np.int32)
+        for r_, s_ in enumerate(slots):
+            age_rank[s_] = r_
+        n_drop = max(0, len(slots) - cfg.max_frames) \
+            if len(slots) > 2 else 0
+        problem = ba.BAProblem(
+            frames=w.frames, points=w.points, calib=w.calib,
+            calib0=w.calib0, HM=jnp.asarray(w.HM, jnp.float32),
+            bM0=jnp.asarray(w.bM0, jnp.float32),
+            prior_diag=w.prior_diag, pair_mask=w.pair_mask)
+        return ba.marg_fused_jit(
+            problem, w.images, jnp.asarray(age_rank),
+            jnp.asarray(n_drop, jnp.int32), newest_slot)
+
+    def _apply_marg_host(self, vlist, HM_np, bM_np,
+                         pts_new_d, pm_new_d) -> None:
+        """Host side of the fused marginalization: prior float64 algebra,
+        per-victim Schur, slot bookkeeping, immature/orphan pruning."""
+        w = self.win
+        F = self.cfg.f_max
         with TimeMeasurement("marginalize"):
             w.points, w.pair_mask = pts_new_d, pm_new_d
             w.HM = w.HM + np.asarray(HM_np, np.float64)
@@ -1041,7 +1041,110 @@ class FullSystem:
                 # Orphaned points (all pairs died with the victims).
                 w.points, w.pair_mask = window_ops.post_ba_update(
                     w.points, w.pair_mask, jnp.zeros_like(w.pair_mask))
-        return pose_pack_np
+
+    # ------------------------------------------------------------------
+    # Deferred keyframe (realtime visual pipeline): _make_keyframe_rt
+    # dispatches every device program of the keyframe build and returns
+    # without blocking; _finalize_kf — run at the START of the next frame —
+    # fetches the (by then settled) results and does the host prior
+    # algebra. The keyframe thereby leaves the per-frame critical path
+    # almost entirely (the reference gets the same effect from its mapping
+    # thread, FullSystem.cpp:1216).
+    def _make_keyframe_rt(self, pyr, ts, fid, R_cw, t_cw, aff_new,
+                          shell_idx: int) -> None:
+        cfg = self.cfg
+        w = self.win
+        slot = w.free_frame_slot()
+        w.insert_frame(slot, fid, pyr, R_cw, t_cw, aff_new)
+        w.set_frame_prior(slot, 0.0, cfg.aff_a_prior, cfg.aff_b_prior)
+        self.shells[shell_idx].is_kf = True
+        self.stats_kf += 1
+        with TimeMeasurement("activate"):
+            self._activate_points(slot)
+        snap = (w.frames, w.points, w.pair_mask, w.calib, None)
+        with TimeMeasurement("ba_optimize"):
+            self._run_ba(max_iters=cfg.ba_iters)
+        w.frames = window_ops.set_fej_current(w.frames, slot)
+        out = self._dispatch_marg_fused(slot)
+        vlist_d, HM_d, bM_d, pts_d, pm_d, n_pre_d, n_post_d = out
+        with TimeMeasurement("tracker_ref"):
+            self._build_tracker_ref_dev(slot)
+        with TimeMeasurement("spawn_immatures"):
+            self._spawn_immatures(slot, pyr)
+        # The reference switch is recorded NOW (host ints; later frames
+        # compose against the new slot); the pose caches arrive with the
+        # finalize fetch.
+        prev_ref = self.ref_kf_id
+        self.ref_kf_slot = slot
+        self.ref_kf_id = fid
+        self._kf_finalize = dict(
+            slot=slot, fid=fid, snap=snap, prev_ref=prev_ref,
+            fetch=(vlist_d, HM_d, bM_d, n_pre_d, n_post_d,
+                   window_ops.kf_pose_pack(w.frames)),
+            pts=pts_d, pm=pm_d)
+
+    def _finalize_kf(self) -> None:
+        kfp = self._kf_finalize
+        if kfp is None:
+            return
+        self._kf_finalize = None
+        w = self.win
+        slot, fid = kfp["slot"], kfp["fid"]
+        with TimeMeasurement("kf_finalize_fetch"):
+            (vlist, HM_np, bM_np, n_pre, n_post,
+             pose_pack_np) = jax.device_get(kfp["fetch"])
+        if self._n_active > 60 and \
+                float(n_pre) < max(40.0, 0.15 * self._n_active):
+            # Rare divergence revert, one frame late: restore the
+            # snapshot and redo the tail synchronously.
+            w.frames, w.points, w.pair_mask, w.calib = kfp["snap"][:4]
+            self.calib = w.calib
+            w.frames = window_ops.set_fej_current(w.frames, slot)
+            pose_pack_np = self._kf_fused_tail(slot, kfp["snap"])
+            self._build_tracker_ref_dev(slot)
+        else:
+            self._n_active = float(n_post)
+            self._apply_marg_host(vlist, HM_np, bM_np,
+                                  kfp["pts"], kfp["pm"])
+        self._record_kf_poses(pose_pack_np)
+        self._tracker_ref_host_update(slot, fid, pose_pack_np,
+                                      prev_ref_id=kfp["prev_ref"])
+        # Patch the in-flight frame that was re-dispatched against this
+        # reference before its pose reached the host.
+        if self._rt_pending is not None and \
+                self._rt_pending.get("ref_pose") is None:
+            self._rt_pending["ref_pose"] = self.ref_pose_np
+            self._rt_pending["ref_kf_id"] = self.ref_kf_id
+        self._publish_keyframe_events()
+
+    def _publish_keyframe_events(self) -> None:
+        w = self.win
+        if not self.output_wrappers:
+            return
+        win_fids = [f for f in w.slot_frame_id if f is not None]
+        conn = {f: [g for g in win_fids if g != f] for f in win_fids}
+        depth_pack = None
+        if any(getattr(w_, "wants_depth_images", False)
+               for w_ in self.output_wrappers):
+            u_d, v_d, d_d, m_d, img_d = self._ref_depth_dev
+            u_np, v_np, d_np, m_np, img_np = jax.device_get(
+                (u_d, v_d, d_d, m_d, img_d))
+            sel = np.asarray(m_np, bool)
+            img_np = np.asarray(img_np)
+            if img_np.ndim == 3:
+                img_np = img_np[0]
+            depth_pack = (np.asarray(u_np)[sel], np.asarray(v_np)[sel],
+                          np.asarray(d_np)[sel], img_np)
+        for w_ in self.output_wrappers:
+            w_.publish_keyframes(dict(self.kf_poses))
+            w_.publish_graph(conn)
+            if depth_pack is not None:
+                w_.push_depth_image(self.ref_kf_id, depth_pack[0],
+                                    depth_pack[1], depth_pack[2],
+                                    img=depth_pack[3])
+            if self._vio_mode():
+                w_.publish_transform_dso_to_imu(
+                    float(np.exp(self.imu.s_log)), self.imu.g2)
 
     def _active_visual_event(self):
         """The active window's reduced visual system as a quadratic over
@@ -1148,13 +1251,11 @@ class FullSystem:
                 w.frames, w.pair_mask, s)
 
     # ------------------------------------------------------------------
-    def _set_tracker_ref(self, slot: int, fid: int,
-                         pose_pack: Optional[np.ndarray] = None):
-        """Build the semi-dense tracking reference from the newest KF
-        (makeCoarseDepthL0, CoarseTracker.cpp:138). Host caches come from
-        the already-fetched pose pack (no extra sync)."""
+    def _build_tracker_ref_dev(self, slot: int) -> None:
+        """Device-only half of the tracker-ref switch (makeCoarseDepthL0,
+        CoarseTracker.cpp:138): project all points into the new KF and
+        build the semi-dense reference. No host sync."""
         w = self.win
-        F = self.cfg.f_max
         u_p, v_p, d_p, valid = _project_into(
             w.frames, w.points.host, w.points.u, w.points.v,
             w.points.idepth, w.calib, slot)
@@ -1166,18 +1267,26 @@ class FullSystem:
         self.tracker_ref = _make_ref_jit(
             w.pyramids[slot], w.calib, u_c, v_c, d_c, m_c)
         # Device refs for the (gated) depth-map publish — free unless a
-        # viewer asks (wants_depth_images), in which case _make_keyframe
+        # viewer asks (wants_depth_images), in which case the KF finalize
         # fetches them once per KF.
         self._ref_depth_dev = (u_c, v_c, d_c, m_c, w.pyramids[slot][0])
-        if pose_pack is None:
-            pose_pack = jax.device_get(window_ops.kf_pose_pack(w.frames))
+
+    def _tracker_ref_host_update(self, slot: int, fid: int,
+                                 pose_pack: np.ndarray,
+                                 prev_ref_id: Optional[int] = None) -> None:
+        """Host half of the tracker-ref switch: pose caches + motion-model
+        rebase from an (already fetched) pose pack. prev_ref_id overrides
+        the previous reference id when the switch was already recorded at
+        dispatch time (deferred keyframes)."""
+        F = self.cfg.f_max
+        prev = self.ref_kf_id if prev_ref_id is None else prev_ref_id
         R_new_ref = pose_pack[:9 * F].reshape(F, 3, 3)[slot]
         t_new_ref = pose_pack[9 * F:12 * F].reshape(F, 3)[slot]
         aff_ref = pose_pack[12 * F:14 * F].reshape(F, 2)[slot]
         # Re-express the velocity model relative to the new reference
         # (host-side numpy: tiny matrices).
-        if self.ref_kf_slot >= 0 and self.ref_kf_id in self.kf_poses:
-            R_old, t_old = self.kf_poses[self.ref_kf_id]
+        if prev in self.kf_poses and prev != fid:
+            R_old, t_old = self.kf_poses[prev]
             lR, lt = self.T_last_ref
             R_w = lR @ R_old
             t_w = lR @ t_old + lt
@@ -1193,6 +1302,15 @@ class FullSystem:
         self.ref_kf_id = fid
         self.last_rho = 0.0
         self.last_b = 0.0
+
+    def _set_tracker_ref(self, slot: int, fid: int,
+                         pose_pack: Optional[np.ndarray] = None):
+        """Synchronous tracker-ref switch (non-deferred paths)."""
+        if pose_pack is None:
+            pose_pack = jax.device_get(
+                window_ops.kf_pose_pack(self.win.frames))
+        self._build_tracker_ref_dev(slot)
+        self._tracker_ref_host_update(slot, fid, pose_pack)
 
     def _spawn_immatures(self, slot: int, pyr):
         """Select new candidate points in the newest KF (makeNewTraces,

@@ -550,6 +550,17 @@ class IMUSystem:
                                                 pre=pre_np))
         self.delayed_log.record_event(ev, sym)
 
+    # Run PGBA on a background thread (the reference's RealtimePGBAState
+    # runs GTSAM LM off the BA thread, IMUInitializerStates.h:137-210;
+    # adoption happens at a LATER keyframe against the live delayed log,
+    # whose newer events cover keyframes created meanwhile — the
+    # counterpart of extendGraph + DisconnectedDelayedGraph,
+    # PoseGraphBundleAdjustment.cpp:108-207). pgba.run is pure host
+    # NumPy on a snapshot, so the thread never touches device state.
+    # FullSystem sets this to cfg.realtime: like the reference, the
+    # non-realtime ("linearizeOperation") mode stays deterministic.
+    pgba_background = False
+
     def maybe_run_pgba(self, frames_dev, slot_fids,
                        active_event_fn=None, every: int = 6) -> bool:
         """Trigger PGBA periodically; adopt its result when the scale
@@ -562,20 +573,55 @@ class IMUSystem:
             # (IMUInitializerTransitions.h:142-163, configs/ablations/
             # 4seasonsNoPGBA.yaml init_transitionModel: 5).
             return False
+        # Harvest a finished background optimization first.
+        bg = getattr(self, "_pgba_bg", None)
+        if bg is not None:
+            if bg["thread"].is_alive():
+                return False        # still optimizing; keep collecting KFs
+            self._pgba_bg = None
+            res = bg["result"][0]
+            if res is not None and res.ok:
+                return self._adopt_pgba(res, frames_dev, slot_fids)
+            return False
         self.kf_since_pgba += 1
         if self.kf_since_pgba < every or len(self.delayed_log.events) < 8:
             return False
         self.kf_since_pgba = 0
-        with TimeMeasurement("pgba"):
+        with TimeMeasurement("pgba_snapshot"):
             win = self.snapshot_kf_states(frames_dev, slot_fids,
                                           use_fej=False)
             active_event = (active_event_fn()
                             if active_event_fn is not None else None)
             st_np = jax.device_get((self.states.s_log, self.states.g2))
+        if self.pgba_background:
+            import copy
+            import threading
+
+            log_copy = copy.deepcopy(self.delayed_log)
+            holder = [None]
+
+            def work():
+                try:
+                    holder[0] = pgba.run(log_copy, win, active_event,
+                                         float(st_np[0]),
+                                         np.asarray(st_np[1]))
+                except Exception:
+                    holder[0] = None
+
+            th = threading.Thread(target=work, daemon=True)
+            th.start()
+            self._pgba_bg = {"thread": th, "result": holder}
+            return False
+        with TimeMeasurement("pgba"):
             res = pgba.run(self.delayed_log, win, active_event,
                            float(st_np[0]), np.asarray(st_np[1]))
         if res is None or not res.ok:
             return False
+        return self._adopt_pgba(res, frames_dev, slot_fids)
+
+    def _adopt_pgba(self, res, frames_dev, slot_fids) -> bool:
+        """Gate + take over a PGBA result (scale/gravity/velocities/biases
+        + marginalization replacement per the transition model)."""
         # Absolute quality gate first (a PGBA over dozens of keyframes must
         # constrain scale tightly; threshold scaled by
         # init_pgba_scaleUncertaintyThresh), then require improvement.

@@ -272,6 +272,25 @@ def compose_abs_pose(R_rel, t_rel, rho, b_aff, frames: BAFrames, slot):
     return R, t, jnp.stack([a_new, b_new])
 
 
+@jax.jit
+def rel_candidates(R_cw, t_cw, frames: BAFrames, slot):
+    """Tracking candidates for an in-flight frame relative to window frame
+    `slot`, computed ON DEVICE (used when the reference keyframe was just
+    switched and its pose has not reached the host yet): [frame's own
+    absolute pose re-expressed, identity(= at the ref)], padded to the
+    fixed [4] candidate batch."""
+    R_ref = frames.R_cw[slot]
+    t_ref = frames.t_cw[slot]
+    R_rel = R_cw @ R_ref.T
+    t_rel = t_cw - R_rel @ t_ref
+    eye = jnp.eye(3, dtype=R_rel.dtype)
+    z = jnp.zeros(3, dtype=t_rel.dtype)
+    R_c = jnp.stack([R_rel, eye, R_rel, eye])
+    t_c = jnp.stack([t_rel, z, t_rel, z])
+    mask = jnp.array([True, True, False, False])
+    return R_c, t_c, mask
+
+
 @functools.partial(jax.jit, static_argnames=("h", "w"))
 def activate_and_admit(pool: ImmaturePoints, frames: BAFrames,
                        points: BAPoints, pair_mask, images, calib, slot,

@@ -155,3 +155,45 @@ def test_rebuild_prior_replacement():
     # minimum along the scale coordinate is close to zero offset.
     s_off = -b[0] / H[0, 0]
     assert abs(s_off) < 0.05, s_off
+
+
+def test_background_pgba_thread(monkeypatch):
+    """Realtime mode runs PGBA off-thread on a log snapshot and adopts the
+    result at a later keyframe (RealtimePGBAState parity,
+    IMUInitializerStates.h:137-210)."""
+    import jax.numpy as jnp
+
+    from dmvio_tpu.models.imu_system import ACTIVE, IMUCalib, IMUSystem
+
+    kfs, pres = build_world()
+    log = make_log(kfs, pres)
+    sysb = IMUSystem(IMUCalib(), f_max=8)
+    sysb.pgba_background = True
+    sysb.phase = ACTIVE
+
+    class FakeStates:       # only s_log/g2 are read by the snapshot block
+        s_log = jnp.asarray(np.log(S_GT) + 0.4, jnp.float32)
+        g2 = jnp.asarray(G2_GT + np.array([-0.05, 0.04]), jnp.float32)
+
+    sysb.states = FakeStates()
+    sysb.delayed_log = log
+    window = {k: kfs[k] for k in range(N_KF - 4, N_KF)}
+    monkeypatch.setattr(sysb, "snapshot_kf_states",
+                        lambda *a, **k: dict(window))
+    adopted = []
+    monkeypatch.setattr(
+        sysb, "_adopt_pgba",
+        lambda res, f, s: (adopted.append(res), True)[1])
+
+    sysb.kf_since_pgba = 10
+    assert sysb.maybe_run_pgba(None, [], every=6) is False   # thread started
+    assert sysb._pgba_bg is not None
+    n_events_before = len(log.events)
+    log.pairs.append(delayed.SymbolicPair(          # log keeps growing
+        fid_i=N_KF - 2, fid_j=N_KF - 1, pre=pres[-1]))
+    sysb._pgba_bg["thread"].join(timeout=180)
+    assert sysb.maybe_run_pgba(None, [], every=6) is True    # harvested
+    res = adopted[0]
+    assert res is not None and res.ok
+    assert abs(np.exp(res.s_log) - S_GT) / S_GT < 0.05
+    assert len(log.events) == n_events_before                # live log intact
