@@ -111,7 +111,7 @@ class FullSystem:
         # Observer chain (reference Output3DWrapper, Output3DWrapper.h:144).
         self.output_wrappers = []
         self._published_status = -1
-        self._rt_pending = None   # in-flight frame (realtime pipeline)
+        self._rt_queue = []       # in-flight frames (realtime pipeline)
         self._kf_finalize = None  # deferred keyframe tail (realtime)
 
     # ------------------------------------------------------------------
@@ -267,22 +267,43 @@ class FullSystem:
         self.shells.append(window.FrameShell(
             frame_id=fid, timestamp=ts, ref_kf_id=self.ref_kf_id,
             R_c_ref=np.eye(3), t_c_ref=np.zeros(3)))
-        prev = self._rt_pending
-        self._rt_pending = dict(
+        self._rt_queue.append(dict(
             fid=fid, ts=ts, pyr=pyr, packed=packed,
             ref_kf_id=self.ref_kf_id, ref_pose=self.ref_pose_np,
             shell_idx=len(self.shells) - 1,
-            R_cw=R_cw, t_cw=t_cw, aff=aff_new, imm_before=imm_before)
-        if prev is not None:
-            self._rt_consume(prev)
+            R_cw=R_cw, t_cw=t_cw, aff=aff_new, imm_before=imm_before))
+        if len(self._rt_queue) > self.cfg.rt_batch:
+            self._rt_drain(keep_last=True)
 
-    def _rt_consume(self, p) -> None:
-        """Finish a pipelined frame: host bookkeeping + keyframe decision
-        from its (by now transferred) packed stats."""
+    def _rt_drain(self, keep_last: bool) -> None:
+        """Fetch a batch of in-flight frames' packed stats with ONE
+        blocking device_get (one tunnel round trip per rt_batch frames)
+        and consume them in order. keep_last leaves the newest frame in
+        flight (the steady-state pipeline depth)."""
+        if keep_last:
+            batch = self._rt_queue[:-1]
+            self._rt_queue = self._rt_queue[-1:]
+        else:
+            batch = list(self._rt_queue)
+            self._rt_queue = []
+        if not batch:
+            return
         with TimeMeasurement("track_fetch"):
-            pk = coarse_tracker.PackedTrack(jax.device_get(p["packed"]),
-                                            self.cfg.levels)
+            packs = jax.device_get(tuple(p["packed"] for p in batch))
+        for p, arr in zip(batch, packs):
+            resets0 = self.stats_resets
+            self._rt_consume(p, arr)
+            if self.stats_resets != resets0:
+                break    # the rest of the batch belongs to the dead map
+
+    def _rt_consume(self, p, packed_np) -> None:
+        """Finish a pipelined frame: host bookkeeping + keyframe decision
+        from its (already fetched) packed stats."""
+        pk = coarse_tracker.PackedTrack(packed_np, self.cfg.levels)
         if not pk.any_valid:
+            # Rescue tracks against the CURRENT reference: make the host
+            # caches consistent first if a keyframe switch is mid-flight.
+            self._finalize_kf()
             res_r, pk_r = self._rescue_track(p["pyr"])
             if pk_r.any_valid:
                 pk = pk_r
@@ -340,25 +361,26 @@ class FullSystem:
             + cfg.w_flow_rt * pk.flow_rt / (self.w + self.h)
             + cfg.w_aff * abs(pk.rho))
         if score > 1.0 and not self.is_lost:
-            # Undo the in-flight frame's trace first: it ran against the
-            # pre-keyframe window state and is re-issued after the switch
-            # (non-RT ordering is trace(N-1) -> KF(N-1) -> trace(N)).
-            if self._rt_pending is not None:
-                self.imm = self._rt_pending["imm_before"]
+            # Undo the still-in-flight frames' traces first: they ran
+            # against the pre-keyframe window state and are re-issued after
+            # the switch (non-RT ordering is trace(N-1) -> KF(N-1) ->
+            # trace(N)). Batch-mates already fetched are consumed as-is
+            # (the reference likewise lets stale-tracked frames through,
+            # coarseTrackerSwapMutex, FullSystem.cpp:978-1002).
+            # A previous keyframe from the same drained batch may still be
+            # mid-flight — finish it before building another.
+            self._finalize_kf()
+            if self._rt_queue:
+                self.imm = self._rt_queue[0]["imm_before"]
             with TimeMeasurement("keyframe_total"):
                 self._make_keyframe_rt(p["pyr"], p["ts"], p["fid"],
                                        p["R_cw"], p["t_cw"], p["aff"],
                                        shell_idx=p["shell_idx"])
-            # The in-flight frame was dispatched against the PRE-keyframe
-            # reference; its flow stats (and pose basin) are stale. Re-issue
-            # its tracking against the fresh reference — an extra device
-            # dispatch, zero extra host syncs (the replacement result is
-            # consumed on the next frame as usual). The reference instead
-            # lets stale-tracked frames through and swaps the tracker only
-            # between frames (coarseTrackerSwapMutex,
-            # FullSystem.cpp:978-1002).
-            if self._rt_pending is not None:
-                self._rt_redispatch(self._rt_pending)
+            # Re-issue the in-flight frames' tracking against the fresh
+            # reference — extra device dispatches, zero extra host syncs
+            # (the replacement results are consumed at the next drain).
+            for q in self._rt_queue:
+                self._rt_redispatch(q)
         self._consec_lost = self._consec_lost + 1 if self.is_lost else 0
         map_dead = self.initialized and self._n_active < 25 \
             and self.stats_kf > 3
@@ -450,11 +472,9 @@ class FullSystem:
         consume the in-flight frame, finalize again if consuming created
         another keyframe)."""
         self._finalize_kf()
-        p = self._rt_pending
-        if p is not None:
-            self._rt_pending = None
-            self._rt_consume(p)
-        self._finalize_kf()
+        while self._rt_queue:
+            self._rt_drain(keep_last=False)
+            self._finalize_kf()
 
     # ------------------------------------------------------------------
     def _full_reset(self, pyr, timestamp, fid) -> None:
@@ -462,7 +482,7 @@ class FullSystem:
         recreates FullSystem keeping the output wrappers)."""
         self.stats_resets += 1
         self._consec_lost = 0
-        self._rt_pending = None   # in-flight frame belongs to the dead map
+        self._rt_queue = []       # in-flight frames belong to the dead map
         self._kf_finalize = None  # so does the deferred keyframe tail
         self.win = window.Window(self.calib, self.h, self.w, self.cfg)
         self.imm = immature.empty_pool(self.cfg.i_max)
@@ -698,6 +718,7 @@ class FullSystem:
         w.frames = window_ops.set_fej_current(w.frames, slot)
         self._imu_set_fej(slot)
         F = cfg.f_max
+        self._kf_st_host = None   # states prefetch (VIO branch fills it)
         if not self._vio_mode():
             # Visual path: victim selection + point-marg fold + drops all
             # run ON DEVICE (ba.marg_fused), so the entire keyframe tail
@@ -707,11 +728,14 @@ class FullSystem:
             pose_pack = self._record_kf_poses(pose_pack_np)
         else:
             # VIO path: the extended-state marginalization still uses the
-            # stats-fetch flow (several host float64 stages).
+            # stats-fetch flow (several host float64 stages). The inertial
+            # states ride the same fetch (reinit_coarse_from_ba needs them
+            # after marginalization; fetching twice costs a round trip).
+            st_dev = self.imu.states if self._vio_mode() else None
             with TimeMeasurement("kf_sync_stats"):
-                stats_np, pose_pack_np = jax.device_get(
+                stats_np, pose_pack_np, st_host = jax.device_get(
                     (window_ops.marg_stats(w.frames, w.points, w.pair_mask),
-                     window_ops.kf_pose_pack(w.frames)))
+                     window_ops.kf_pose_pack(w.frames), st_dev))
             n_after = float(stats_np[4 * F])
             if self._n_active > 60 and \
                     n_after < max(40.0, 0.15 * self._n_active):
@@ -723,10 +747,12 @@ class FullSystem:
                     self.imu.states = snap[4]
                 self.calib = w.calib
                 w.frames = window_ops.set_fej_current(w.frames, slot)
-                stats_np, pose_pack_np = jax.device_get(
+                st_dev = self.imu.states if self._vio_mode() else None
+                stats_np, pose_pack_np, st_host = jax.device_get(
                     (window_ops.marg_stats(w.frames, w.points, w.pair_mask),
-                     window_ops.kf_pose_pack(w.frames)))
+                     window_ops.kf_pose_pack(w.frames), st_dev))
                 n_after = float(stats_np[4 * F])
+            self._kf_st_host = st_host
             self._n_active = n_after
             pose_pack = self._record_kf_poses(pose_pack_np)
             with TimeMeasurement("marginalize"):
@@ -745,11 +771,17 @@ class FullSystem:
                 if self.imu.try_initialize(self.kf_poses):
                     self._imu_activate(slot)
             if self.imu.phase == imu_system.ACTIVE:
-                self.imu.maybe_run_pgba(
+                adopted = self.imu.maybe_run_pgba(
                     w.frames, w.slot_frame_id,
                     active_event_fn=self._active_visual_event)
+                F_ = self.cfg.f_max
+                R_np = pose_pack[:9 * F_].reshape(F_, 3, 3)[slot]
+                t_np = pose_pack[9 * F_:12 * F_].reshape(F_, 3)[slot]
+                st_pref = getattr(self, "_kf_st_host", None)
                 self.imu.reinit_coarse_from_ba(
-                    w.frames.R_cw[slot], w.frames.t_cw[slot], slot)
+                    R_np, t_np, slot,
+                    st_np=None if adopted else st_pref)
+                self._kf_st_host = None
 
     def _imu_set_fej(self, slot: int) -> None:
         if self.imu is None or self.imu.states is None:
@@ -788,11 +820,12 @@ class FullSystem:
 
     def _ext_prior_diag(self) -> jnp.ndarray:
         """Extended prior diagonal: visual priors converted to Mahalanobis
-        units + the IMU-block priors."""
+        units + the IMU-block priors (host numpy -> device transfer)."""
         w = self.win
         Cv = ba_solve.cdim(self.cfg.f_max)
-        return jnp.concatenate([
-            w.prior_diag * vio_ba.W_DSO, self.imu.prior_diag[Cv:]])
+        return jnp.asarray(np.concatenate([
+            np.asarray(w.prior_diag) * vio_ba.W_DSO,
+            np.asarray(self.imu.prior_diag)[Cv:]]))
 
     def _run_ba(self, max_iters: int):
         w = self.win
@@ -800,7 +833,7 @@ class FullSystem:
             frames=w.frames, points=w.points, calib=w.calib,
             calib0=w.calib0, HM=jnp.asarray(w.HM, jnp.float32),
             bM0=jnp.asarray(w.bM0, jnp.float32),
-            prior_diag=w.prior_diag, pair_mask=w.pair_mask,
+            prior_diag=jnp.asarray(w.prior_diag), pair_mask=w.pair_mask,
         )
         if self._vio_mode():
             imu = self.imu
@@ -890,19 +923,37 @@ class FullSystem:
             frames=w.frames, points=w.points, calib=w.calib,
             calib0=w.calib0, HM=jnp.asarray(w.HM, jnp.float32),
             bM0=jnp.asarray(w.bM0, jnp.float32),
-            prior_diag=w.prior_diag, pair_mask=w.pair_mask,
+            prior_diag=jnp.asarray(w.prior_diag), pair_mask=w.pair_mask,
         )
+        fold_dev = None
+        fej_dev = None
+        touching = []
         if vio:
+            imu = self.imu
             vproblem = vio_ba.VIOProblem(
-                base=problem, states=self.imu.states,
-                pairs=self.imu.device_pairs(),
-                HM=jnp.asarray(self.imu.HM, jnp.float32),
-                bM0=jnp.asarray(self.imu.bM0, jnp.float32),
+                base=problem, states=imu.states,
+                pairs=imu.device_pairs(),
+                HM=jnp.asarray(imu.HM, jnp.float32),
+                bM0=jnp.asarray(imu.bM0, jnp.float32),
                 prior_diag=self._ext_prior_diag(),
-                R_cb=self.imu.R_cb, t_cb=self.imu.t_cb,
+                R_cb=imu.R_cb, t_cb=imu.t_cb,
                 imu_on=jnp.asarray(True))
             HM_add, bM_add = vio_ba.marginalize_points_ext_jit(
                 vproblem, w.images, marg_pts, F)
+            # Victims are host-known: dispatch the pair-factor fold NOW so
+            # its result rides the same fetch (one round trip per KF).
+            touching = [q for q, tup in enumerate(imu.pairs)
+                        if tup[0] in victims or tup[1] in victims]
+            if touching:
+                sel = np.zeros(F - 1, bool)
+                sel[touching] = True
+                fold_dev = vio_ba.fold_pairs_into_prior_jit(
+                    w.frames, imu.states, vproblem.pairs, imu.R_cb,
+                    imu.t_cb, w.calib, w.calib0, F, jnp.asarray(sel))
+            # FEJ snapshot for the delayed-log events, same fetch.
+            st = imu.states
+            fej_dev = (w.frames.R0_cw, w.frames.t0_cw, w.frames.aff0,
+                       st.v0, st.bg0, st.ba0, st.s_log0, st.g20)
         else:
             HM_add, bM_add = ba.marginalization_update_jit(
                 problem, w.images, marg_pts)
@@ -914,9 +965,10 @@ class FullSystem:
         w.points, w.pair_mask = window_ops.drop_points_mask(
             w.points, pair_rows_cleared, hosted)
         with TimeMeasurement("marg_sync"):
-            HM_np, bM_np, n_after = jax.device_get(
+            HM_np, bM_np, n_after, fold_np, fej_np = jax.device_get(
                 (HM_add, bM_add,
-                 jnp.sum(w.points.mask.astype(jnp.float32))))
+                 jnp.sum(w.points.mask.astype(jnp.float32)),
+                 fold_dev, fej_dev))
         self._n_active = float(n_after)
         if vio:
             HM_add_np = np.asarray(HM_np, np.float64)
@@ -928,7 +980,7 @@ class FullSystem:
             w.HM = w.HM + np.asarray(HM_np, np.float64)
             w.bM0 = w.bM0 + np.asarray(bM_np, np.float64)
         if vio:
-            self._vio_marginalize_frames(victims)
+            self._vio_marginalize_frames(victims, fold_np, fej_np)
             self._vio_event_quad = None
         else:
             Cv = ba_solve.cdim(F)
@@ -1005,7 +1057,7 @@ class FullSystem:
             frames=w.frames, points=w.points, calib=w.calib,
             calib0=w.calib0, HM=jnp.asarray(w.HM, jnp.float32),
             bM0=jnp.asarray(w.bM0, jnp.float32),
-            prior_diag=w.prior_diag, pair_mask=w.pair_mask)
+            prior_diag=jnp.asarray(w.prior_diag), pair_mask=w.pair_mask)
         return ba.marg_fused_jit(
             problem, w.images, jnp.asarray(age_rank),
             jnp.asarray(n_drop, jnp.int32), newest_slot)
@@ -1109,12 +1161,12 @@ class FullSystem:
         self._record_kf_poses(pose_pack_np)
         self._tracker_ref_host_update(slot, fid, pose_pack_np,
                                       prev_ref_id=kfp["prev_ref"])
-        # Patch the in-flight frame that was re-dispatched against this
+        # Patch in-flight frames that were re-dispatched against this
         # reference before its pose reached the host.
-        if self._rt_pending is not None and \
-                self._rt_pending.get("ref_pose") is None:
-            self._rt_pending["ref_pose"] = self.ref_pose_np
-            self._rt_pending["ref_kf_id"] = self.ref_kf_id
+        for q in self._rt_queue:
+            if q.get("ref_pose") is None:
+                q["ref_pose"] = self.ref_pose_np
+                q["ref_kf_id"] = self.ref_kf_id
         self._publish_keyframe_events()
 
     def _publish_keyframe_events(self) -> None:
@@ -1158,7 +1210,7 @@ class FullSystem:
             frames=w.frames, points=w.points, calib=w.calib,
             calib0=w.calib0, HM=jnp.asarray(w.HM, jnp.float32),
             bM0=jnp.asarray(w.bM0, jnp.float32),
-            prior_diag=w.prior_diag, pair_mask=w.pair_mask)
+            prior_diag=jnp.asarray(w.prior_diag), pair_mask=w.pair_mask)
         H_add, b_add = ba.marginalization_update_jit(
             problem, w.images, w.points.mask)
         H_ext = vio_ba.embed_vis(H_add * vio_ba.W_DSO, F)
@@ -1178,10 +1230,15 @@ class FullSystem:
             fej={f: fej[f] for f in fids if f in fej},
             s_log0=float(st_np[0]), g20=np.asarray(st_np[1]))
 
-    def _vio_marginalize_frames(self, victims) -> None:
+    def _vio_marginalize_frames(self, victims, fold_np=None,
+                                fej_np=None) -> None:
         """Extended-state frame marginalization: fold the victims' IMU pair
         factors and priors into the prior, then Schur out 8+9 coords per
-        victim (the graphs side of marginalizeBAFrame)."""
+        victim (the graphs side of marginalizeBAFrame).
+
+        fold_np / fej_np arrive prefetched from _marginalize's batched
+        fetch (fold = the victims' pair-factor quadratic; fej = the frame +
+        inertial FEJ snapshot for the delayed log)."""
         w = self.win
         imu = self.imu
         F = self.cfg.f_max
@@ -1203,27 +1260,37 @@ class FullSystem:
             j0 = vio_ba.imu_offset(F, s_)
             H_ev[np.arange(i0, i0 + 8), np.arange(i0, i0 + 8)] +=                 pr_vis0[i0:i0 + 8] * vio_ba.W_DSO
             H_ev[np.arange(j0, j0 + 9), np.arange(j0, j0 + 9)] +=                 pr_imu0[j0:j0 + 9]
-        # 1) IMU pair factors touching victims -> prior (FEJ + r0).
-        touching = [q for q, tup in enumerate(imu.pairs)
-                    if tup[0] in victims or tup[1] in victims]
-        if touching:
-            pairs_dev = imu.device_pairs()
-            sel = np.zeros(F - 1, bool)
-            for q in touching:
-                sel[q] = True
-            sel &= np.asarray(pairs_dev.valid)
-            HM_add, bM_add = vio_ba.fold_pairs_into_prior_jit(
-                w.frames, imu.states, pairs_dev, imu.R_cb, imu.t_cb,
-                w.calib, w.calib0, F, jnp.asarray(sel))
-            HM_np, bM_np = jax.device_get((HM_add, bM_add))
-            imu.HM = imu.HM + np.asarray(HM_np, np.float64)
-            imu.bM0 = imu.bM0 + np.asarray(bM_np, np.float64)
+        # 1) IMU pair factors touching victims -> prior (FEJ + r0); the
+        # quadratic was dispatched+fetched by _marginalize already.
+        if fold_np is not None:
+            imu.HM = imu.HM + np.asarray(fold_np[0], np.float64)
+            imu.bM0 = imu.bM0 + np.asarray(fold_np[1], np.float64)
+        elif fej_np is None:
+            # Legacy/synchronous path (no prefetch): fold here.
+            touching = [q for q, tup in enumerate(imu.pairs)
+                        if tup[0] in victims or tup[1] in victims]
+            if touching:
+                pairs_dev = imu.device_pairs()
+                sel = np.zeros(F - 1, bool)
+                sel[touching] = True
+                HM_add, bM_add = vio_ba.fold_pairs_into_prior_jit(
+                    w.frames, imu.states, pairs_dev, imu.R_cb, imu.t_cb,
+                    w.calib, w.calib0, F, jnp.asarray(sel))
+                HM_np, bM_np = jax.device_get((HM_add, bM_add))
+                imu.HM = imu.HM + np.asarray(HM_np, np.float64)
+                imu.bM0 = imu.bM0 + np.asarray(bM_np, np.float64)
         removed_pairs = imu.drop_pairs_touching(list(victims))
         slot_fid_map = {sl: ev_slot_fids[sl] for sl in range(F)}
+        fej_snap = None
+        st0 = None
+        if fej_np is not None:
+            fej_snap = imu.build_kf_snapshot(fej_np[:6], ev_slot_fids)
+            st0 = (float(fej_np[6]), np.asarray(fej_np[7], np.float64))
         for s_ in victims:
             imu.record_marg_event(
                 ev_slot_fids[s_], ev_slots, ev_slot_fids,
-                H_ev, b_ev, w.frames, removed_pairs, slot_fid_map)
+                H_ev, b_ev, w.frames, removed_pairs, slot_fid_map,
+                fej_snapshot=fej_snap, st0=st0)
             # Only the first event carries the quadratic content.
             H_ev = np.zeros((C_ext, C_ext))
             b_ev = np.zeros(C_ext)
@@ -1243,10 +1310,16 @@ class FullSystem:
             imu.HM[idx, idx] += vals
             pr_vis[i0:i0 + 8] = 0.0
             pr_imu[j0:j0 + 9] = 0.0
-            w.prior_diag = jnp.asarray(pr_vis)
-            imu.prior_diag = jnp.asarray(pr_imu)
-            imu.HM, imu.bM0 = vio_ba.schur_out_np(
-                imu.HM, imu.bM0, np.asarray(vio_ba.frame_marg_mask(s, F)))
+            w.prior_diag = pr_vis
+            imu.prior_diag = pr_imu
+            # Host-computed coordinate mask (frame_marg_mask is a pure
+            # index pattern; fetching its device version costs a round
+            # trip per victim).
+            C_all = vio_ba.cdim_ext(F)
+            mmask_v = np.zeros(C_all, bool)
+            mmask_v[i0:i0 + 8] = True
+            mmask_v[j0:j0 + 9] = True
+            imu.HM, imu.bM0 = vio_ba.schur_out_np(imu.HM, imu.bM0, mmask_v)
             w.frames, w.pair_mask = window_ops.drop_frame_slot(
                 w.frames, w.pair_mask, s)
 

@@ -354,7 +354,7 @@ class IMUSystem:
         # sigma ~ 1% scale / 0.01 rad gravity still allows BA refinement.
         prior[Cg] = 1e4
         prior[Cg + 1:Cg + 3] = 1e4
-        self.prior_diag = jnp.asarray(prior)
+        self.prior_diag = prior   # host numpy (see window.py)
         self.phase = ACTIVE
 
     # -- keyframe-side ------------------------------------------------------
@@ -439,15 +439,10 @@ class IMUSystem:
 
 
     # -- delayed marginalization + PGBA ------------------------------------
-    def snapshot_kf_states(self, frames_dev, slot_fids, use_fej=True):
-        """Host KFState dict for occupied slots (ONE device fetch)."""
-        st = self.states
-        if use_fej:
-            pack = jax.device_get((frames_dev.R0_cw, frames_dev.t0_cw,
-                                   frames_dev.aff0, st.v0, st.bg0, st.ba0))
-        else:
-            pack = jax.device_get((frames_dev.R_cw, frames_dev.t_cw,
-                                   frames_dev.aff, st.v, st.bg, st.ba))
+    @staticmethod
+    def build_kf_snapshot(pack, slot_fids):
+        """Host KFState dict from already-fetched (R, t, aff, v, bg, ba)
+        per-slot arrays."""
         R, t, aff, v, bg, ba = [np.asarray(x, np.float64) for x in pack]
         out = {}
         for slot, fid in enumerate(slot_fids):
@@ -457,6 +452,17 @@ class IMUSystem:
                     aff=aff[slot].copy(), v=v[slot].copy(),
                     bg=bg[slot].copy(), ba=ba[slot].copy())
         return out
+
+    def snapshot_kf_states(self, frames_dev, slot_fids, use_fej=True):
+        """Host KFState dict for occupied slots (ONE device fetch)."""
+        st = self.states
+        if use_fej:
+            pack = jax.device_get((frames_dev.R0_cw, frames_dev.t0_cw,
+                                   frames_dev.aff0, st.v0, st.bg0, st.ba0))
+        else:
+            pack = jax.device_get((frames_dev.R_cw, frames_dev.t_cw,
+                                   frames_dev.aff, st.v, st.bg, st.ba))
+        return self.build_kf_snapshot(pack, slot_fids)
 
     def event_idx(self, slots) -> np.ndarray:
         """C_ext indices of the event layout [s,g2 | per-slot 17] (calib
@@ -525,16 +531,22 @@ class IMUSystem:
 
     def record_marg_event(self, victim_fid, slots, slot_fids,
                           H_ext_add, b_ext_add, frames_dev,
-                          removed_pairs, slot_fid_map) -> None:
+                          removed_pairs, slot_fid_map,
+                          fej_snapshot=None, st0=None) -> None:
         """Append one marginalization event + the victim's symbolic pairs
         to the delayed log (DelayedGraph's addMarginalizedPointsBA +
-        marginalization enqueue, DelayedMarginalization.cpp:82)."""
+        marginalization enqueue, DelayedMarginalization.cpp:82).
+
+        fej_snapshot / st0 skip the device fetches when the caller already
+        fetched the FEJ pack in its batched sync."""
         if self.phase != ACTIVE or self.states is None:
             return
-        fej = self.snapshot_kf_states(frames_dev, slot_fids, use_fej=True)
+        fej = (fej_snapshot if fej_snapshot is not None else
+               self.snapshot_kf_states(frames_dev, slot_fids, use_fej=True))
         fids = [slot_fids[sl] for sl in slots]
         H_ev, b_ev = self.cext_to_event(H_ext_add, b_ext_add, slots)
-        st_np = jax.device_get((self.states.s_log0, self.states.g20))
+        st_np = (st0 if st0 is not None else
+                 jax.device_get((self.states.s_log0, self.states.g20)))
         ev = delayed.MargEvent(
             victim=victim_fid, fids=fids, H=H_ev, b0=b_ev,
             fej={f: fej[f] for f in fids if f in fej},
@@ -664,12 +676,15 @@ class IMUSystem:
             self.replace_prior_from_log(frames_dev, slot_fids, res)
         return True
 
-    def reinit_coarse_from_ba(self, R_cw, t_cw, slot: int) -> None:
+    def reinit_coarse_from_ba(self, R_cw, t_cw, slot: int,
+                              st_np=None) -> None:
         """BA -> coarse handoff after each keyframe optimization
-        (finishKeyframeOptimization, BAIMULogic.cpp:641)."""
+        (finishKeyframeOptimization, BAIMULogic.cpp:641). st_np: states
+        already fetched by the caller's batched sync (must be None after a
+        PGBA adoption, which replaces the device states)."""
         if self.phase != ACTIVE or self.states is None:
             return
-        st = jax.device_get(self.states)
+        st = st_np if st_np is not None else jax.device_get(self.states)
         bias = np.concatenate([st.bg[slot], st.ba[slot]])
         self.coarse = vio_coarse.init_from_ba(
             np.asarray(R_cw), np.asarray(t_cw), st.v[slot], bias,
@@ -699,4 +714,4 @@ class IMUSystem:
             F = self.f_max
             Cg = ba_solve.cdim(F) + 9 * F
             pr[Cg:Cg + 3] = 1e8
-            self.prior_diag = jnp.asarray(pr)
+            self.prior_diag = pr

@@ -49,6 +49,13 @@ class Config:
     # and the keyframe path. Visual-only for now (the IMU coarse filter
     # syncs per frame and would serialize the pipeline).
     realtime: bool = False
+    # Realtime fetch batching: consume tracking results in groups of this
+    # size with one blocking device fetch per group. Measured on the TPU
+    # tunnel: batching does NOT reduce the round-trip cost (the two
+    # transfers serialize, ~55ms vs ~35ms) and the extra keyframe-decision
+    # latency destabilizes the KF cadence (+25% keyframes) — so the
+    # default stays 1 (one frame deep, the reference's pipeline depth).
+    rt_batch: int = 1
 
 
 @dataclasses.dataclass
@@ -102,7 +109,11 @@ class Window:
         self.bM0 = np.zeros((C,), np.float64)
         prior = np.zeros(C, np.float32)
         prior[:4] = cfg.calib_prior
-        self.prior_diag = jnp.asarray(prior)
+        # prior_diag lives on HOST (numpy): it is mutated/read by host
+        # bookkeeping every keyframe; device users receive it via
+        # jnp.asarray at problem-build time (h2d transfers are ~free,
+        # device fetches are a full tunnel round trip).
+        self.prior_diag = prior
         # Level-0 image stacks per slot for BA; full pyramids kept separately.
         self.images = jnp.zeros((F, 3, h, w), jnp.float32)
         self.pyramids: List[Optional[tuple]] = [None] * F
@@ -182,7 +193,7 @@ class Window:
             idx = np.arange(i0, i0 + 8)
             self.HM[idx, idx] += blk
             pr[i0:i0 + 8] = 0.0
-            self.prior_diag = jnp.asarray(pr)
+            self.prior_diag = pr
 
     def set_frame_prior(self, slot: int, pose_prior: float,
                         aff_a_prior: float, aff_b_prior: float) -> None:
@@ -191,4 +202,4 @@ class Window:
         pr[i0:i0 + 6] = pose_prior
         pr[i0 + 6] = aff_a_prior
         pr[i0 + 7] = aff_b_prior
-        self.prior_diag = jnp.asarray(pr)
+        self.prior_diag = pr
