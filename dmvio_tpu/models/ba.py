@@ -108,9 +108,13 @@ def optimize(problem: BAProblem, images: jnp.ndarray,
     F = problem.frames.mask.shape[0]
     N_null = ba_solve.nullspaces(problem.frames, F) if orthogonalize else None
 
+    # FEJ geometry is constant across the LM loop — hoist it.
+    geo = residuals.fej_geometry(problem.frames, problem.points,
+                                 problem.calib)
+
     def lin_at(frames, points, calib):
         return residuals.linearize(frames, points, calib, images,
-                                   problem.pair_mask)
+                                   problem.pair_mask, geo=geo)
 
     def total_energy(frames, points, calib, lin):
         delta = ba_solve.state_delta(frames, calib, problem.calib0)
@@ -150,7 +154,12 @@ def optimize(problem: BAProblem, images: jnp.ndarray,
         step_sq = jnp.sum(dx * dx) + jnp.sum(dxd * dxd) / jnp.maximum(
             jnp.sum(st.points.mask.astype(jnp.float32)), 1.0
         )
-        converged = step_sq < 1e-10
+        # Converged when the step is tiny OR an accepted step no longer
+        # buys energy (the reference's canbreak small-step termination,
+        # FullSystemOptimize.cpp:550-586) — saves 1-2 device iterations
+        # per keyframe in steady state.
+        rel_impr = (st.energy - e_n) / jnp.maximum(st.energy, 1e-12)
+        converged = (step_sq < 1e-10) | (accept & (rel_impr < 2e-4))
 
         sel = lambda a, b: jax.tree_util.tree_map(
             lambda x, y: jnp.where(accept, x, y), a, b

@@ -437,9 +437,10 @@ class PackedTrack:
         # track: the pose feeds the host motion model and, via the next
         # keyframe, the marginalization prior — one inf poisons both
         # beyond recovery (observed as eigh() failures on the prior).
-        finite = bool(np.all(np.isfinite(a[0:25])))
-        if finite:
-            finite = bool(abs(self.R[0] @ self.R[0] - 1.0) < 0.1)
+        with np.errstate(all="ignore"):
+            finite = bool(np.all(np.isfinite(a[0:25])))
+            if finite:
+                finite = bool(abs(self.R[0] @ self.R[0] - 1.0) < 0.1)
         if not finite:
             self.valid = False
             self.any_valid = False

@@ -113,6 +113,8 @@ class FullSystem:
         self._published_status = -1
         self._rt_queue = []       # in-flight frames (realtime pipeline)
         self._kf_finalize = None  # deferred keyframe tail (realtime)
+        self._last_pose_dev = None   # device pose history for candidates
+        self._prev_pose_dev = None
 
     # ------------------------------------------------------------------
     def add_frame(self, img: jnp.ndarray, timestamp: float,
@@ -230,26 +232,35 @@ class FullSystem:
     # old reference until the switch (the reference's tracker
     # double-buffering, FullSystem.cpp:978-1002).
     def _rt_frame(self, pyr, ts, fid) -> None:
-        # Finish the previous keyframe FIRST: its fetch has settled by now
-        # and the host caches (ref pose, motion rebase, prior) must be
-        # fresh before this frame's candidates are built.
-        self._finalize_kf()
-        mR, mt = self.motion
-        lR, lt = self.T_last_ref
-        R_c = np.zeros((4, 3, 3), np.float32)
-        t_c = np.zeros((4, 3), np.float32)
-        mask_c = np.zeros(4, bool)
-        R_c[0] = np.eye(3)
-        R_c[1] = mR @ lR
-        t_c[1] = mR @ lt + mt
-        R_c[2] = lR
-        t_c[2] = lt
-        R_c[3] = np.eye(3)
-        mask_c[1:] = True
+        if self._last_pose_dev is not None \
+                and self._prev_pose_dev is not None:
+            # Candidates from DEVICE pose history: dispatch never waits on
+            # a pose fetch, so a deferred keyframe's finalize can ride the
+            # next drain's fetch instead of gating this dispatch.
+            R_c, t_c, mask_c = window_ops.track_candidates(
+                *self._last_pose_dev, *self._prev_pose_dev,
+                self.win.frames, self.ref_kf_slot)
+        else:
+            # Cold start (right after init/reset): host caches are fresh.
+            self._finalize_kf()
+            mR, mt = self.motion
+            lR, lt = self.T_last_ref
+            R_h = np.zeros((4, 3, 3), np.float32)
+            t_h = np.zeros((4, 3), np.float32)
+            m_h = np.zeros(4, bool)
+            R_h[0] = np.eye(3)
+            R_h[1] = mR @ lR
+            t_h[1] = mR @ lt + mt
+            R_h[2] = lR
+            t_h[2] = lt
+            R_h[3] = np.eye(3)
+            m_h[1:] = True
+            R_c, t_c, mask_c = (jnp.asarray(R_h), jnp.asarray(t_h),
+                                jnp.asarray(m_h))
         gate = 1.5 * self.track_energy_ref + 0.5
         res, packed = coarse_tracker.track_multi_jit(
             self.tracker_ref, pyr, self.calib,
-            jnp.asarray(R_c), jnp.asarray(t_c), jnp.asarray(mask_c),
+            R_c, t_c, mask_c,
             jnp.asarray(self.last_rho, jnp.float32),
             jnp.asarray(self.last_b, jnp.float32),
             jnp.asarray(gate, jnp.float32), levels=self.cfg.levels)
@@ -261,6 +272,9 @@ class FullSystem:
         R_cw, t_cw, aff_new = window_ops.compose_abs_pose(
             res.R, res.t, res.rho, res.b_aff, self.win.frames,
             self.ref_kf_slot)
+        # Device pose history for the next frame's candidate batch.
+        self._prev_pose_dev = self._last_pose_dev or (R_cw, t_cw)
+        self._last_pose_dev = (R_cw, t_cw)
         imm_before = self.imm     # pre-trace pool (device refs: free)
         with TimeMeasurement("trace"):
             self._trace_pool(R_cw, t_cw, aff_new, pyr)
@@ -269,7 +283,12 @@ class FullSystem:
             R_c_ref=np.eye(3), t_c_ref=np.zeros(3)))
         self._rt_queue.append(dict(
             fid=fid, ts=ts, pyr=pyr, packed=packed,
-            ref_kf_id=self.ref_kf_id, ref_pose=self.ref_pose_np,
+            ref_kf_id=self.ref_kf_id,
+            # A mid-flight keyframe switch means this frame tracked
+            # against a reference whose pose has not reached the host:
+            # record None and let _finalize_kf patch it.
+            ref_pose=(None if self._kf_finalize is not None
+                      else self.ref_pose_np),
             shell_idx=len(self.shells) - 1,
             R_cw=R_cw, t_cw=t_cw, aff=aff_new, imm_before=imm_before))
         if len(self._rt_queue) > self.cfg.rt_batch:
@@ -278,18 +297,23 @@ class FullSystem:
     def _rt_drain(self, keep_last: bool) -> None:
         """Fetch a batch of in-flight frames' packed stats with ONE
         blocking device_get (one tunnel round trip per rt_batch frames)
-        and consume them in order. keep_last leaves the newest frame in
-        flight (the steady-state pipeline depth)."""
-        if keep_last:
-            batch = self._rt_queue[:-1]
-            self._rt_queue = self._rt_queue[-1:]
-        else:
-            batch = list(self._rt_queue)
-            self._rt_queue = []
+        and consume them in order. A pending deferred keyframe's results
+        ride the same fetch. keep_last leaves the newest frame in flight
+        (the steady-state pipeline depth)."""
+        batch = self._rt_queue[:-1] if keep_last else list(self._rt_queue)
         if not batch:
             return
+        kfp = self._kf_finalize
         with TimeMeasurement("track_fetch"):
-            packs = jax.device_get(tuple(p["packed"] for p in batch))
+            fetched = jax.device_get(
+                (tuple(p["packed"] for p in batch),
+                 kfp["fetch"] if kfp is not None else None))
+        packs, kf_fetched = fetched
+        if kfp is not None:
+            # Finalize BEFORE popping: the ref-pose patch loop must see
+            # the batch entries too.
+            self._finalize_kf(prefetched=kf_fetched)
+        self._rt_queue = self._rt_queue[-1:] if keep_last else []
         for p, arr in zip(batch, packs):
             resets0 = self.stats_resets
             self._rt_consume(p, arr)
@@ -465,6 +489,9 @@ class FullSystem:
         p.update(packed=packed, ref_kf_id=self.ref_kf_id,
                  ref_pose=None,   # patched by _finalize_kf
                  R_cw=R_cw, t_cw=t_cw, aff=aff_new, imm_before=self.imm)
+        if self._rt_queue and p is self._rt_queue[-1]:
+            # Keep the device pose history pointing at the refreshed solve.
+            self._last_pose_dev = (R_cw, t_cw)
         self._trace_pool(R_cw, t_cw, aff_new, p["pyr"])
 
     def finish(self) -> None:
@@ -484,6 +511,8 @@ class FullSystem:
         self._consec_lost = 0
         self._rt_queue = []       # in-flight frames belong to the dead map
         self._kf_finalize = None  # so does the deferred keyframe tail
+        self._last_pose_dev = None
+        self._prev_pose_dev = None
         self.win = window.Window(self.calib, self.h, self.w, self.cfg)
         self.imm = immature.empty_pool(self.cfg.i_max)
         self.initialized = False
@@ -1135,16 +1164,19 @@ class FullSystem:
                    window_ops.kf_pose_pack(w.frames)),
             pts=pts_d, pm=pm_d)
 
-    def _finalize_kf(self) -> None:
+    def _finalize_kf(self, prefetched=None) -> None:
         kfp = self._kf_finalize
         if kfp is None:
             return
         self._kf_finalize = None
         w = self.win
         slot, fid = kfp["slot"], kfp["fid"]
-        with TimeMeasurement("kf_finalize_fetch"):
-            (vlist, HM_np, bM_np, n_pre, n_post,
-             pose_pack_np) = jax.device_get(kfp["fetch"])
+        if prefetched is not None:
+            vlist, HM_np, bM_np, n_pre, n_post, pose_pack_np = prefetched
+        else:
+            with TimeMeasurement("kf_finalize_fetch"):
+                (vlist, HM_np, bM_np, n_pre, n_post,
+                 pose_pack_np) = jax.device_get(kfp["fetch"])
         if self._n_active > 60 and \
                 float(n_pre) < max(40.0, 0.15 * self._n_active):
             # Rare divergence revert, one frame late: restore the

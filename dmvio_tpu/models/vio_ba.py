@@ -311,9 +311,12 @@ def optimize(problem: VIOProblem, images: jnp.ndarray,
     C = cdim_ext(F)
     Cv = cdim(F)
 
+    # FEJ geometry is constant across the LM loop — hoist it.
+    geo = residuals.fej_geometry(base.frames, base.points, base.calib)
+
     def lin_vis(frames, points, calib):
         return residuals.linearize(frames, points, calib, images,
-                                   base.pair_mask)
+                                   base.pair_mask, geo=geo)
 
     def energies(frames, points, calib, states, lin):
         delta = vio_delta(frames, calib, base.calib0, states, F)
@@ -428,7 +431,11 @@ def optimize(problem: VIOProblem, images: jnp.ndarray,
             lam=jnp.where(accept, jnp.maximum(st.lam * 0.25, 1e-6),
                           st.lam * 4.0),
             it=st.it + 1,
-            done=(step_sq < 1e-12) | (st.lam > 1e4),
+            # Small-step OR accepted-but-flat termination (the reference's
+            # canbreak, FullSystemOptimize.cpp:550-586).
+            done=(step_sq < 1e-12) | (st.lam > 1e4)
+            | (accept & ((st.energy - e_n)
+                         < 2e-4 * jnp.maximum(st.energy, 1e-12))),
         )
 
     out = jax.lax.while_loop(cond, body, st0)

@@ -273,6 +273,37 @@ def compose_abs_pose(R_rel, t_rel, rho, b_aff, frames: BAFrames, slot):
 
 
 @jax.jit
+def track_candidates(R_last, t_last, R_prev, t_prev,
+                     frames: BAFrames, slot):
+    """Per-frame tracking candidate batch computed ON DEVICE from the last
+    two frames' (device) absolute poses: [constant-velocity, zero-motion,
+    identity-at-ref, pad], relative to window frame `slot`. Replaces the
+    host candidate build so dispatch never waits for pose fetches (the
+    deferred keyframe's pose may not have reached the host yet)."""
+    R_ref = frames.R_cw[slot]
+    t_ref = frames.t_cw[slot]
+    # Motion in the world frame: T_m = T_last o T_prev^-1.
+    R_m = R_last @ R_prev.T
+    t_m = t_last - R_m @ t_prev
+    # Constant velocity: T_cv = T_m o T_last.
+    R_cv = R_m @ R_last
+    t_cv = R_m @ t_last + t_m
+
+    def rel(R_a, t_a):
+        R_r = R_a @ R_ref.T
+        return R_r, t_a - R_r @ t_ref
+
+    R1, t1 = rel(R_cv, t_cv)
+    R2, t2 = rel(R_last, t_last)
+    eye = jnp.eye(3, dtype=R1.dtype)
+    z = jnp.zeros(3, dtype=t1.dtype)
+    R_c = jnp.stack([R1, R2, eye, eye])
+    t_c = jnp.stack([t1, t2, z, z])
+    mask = jnp.array([True, True, True, False])
+    return R_c, t_c, mask
+
+
+@jax.jit
 def rel_candidates(R_cw, t_cw, frames: BAFrames, slot):
     """Tracking candidates for an in-flight frame relative to window frame
     `slot`, computed ON DEVICE (used when the reference keyframe was just

@@ -175,12 +175,37 @@ def _geometric_jacobians(calib: Calib, R, t, u, v, idepth):
     return J_uv_xi, Jd, J_uv_calib, valid
 
 
+def fej_geometry(frames: BAFrames, points: BAPoints, calib: Calib):
+    """Precompute the FEJ-state geometric quantities shared by every LM
+    iteration: per-(target, point) central-pixel Jacobians and the FEJ
+    relative-pose adjoints. The FEJ states (and, to first order in the
+    1e8-prior-pinned intrinsics, the calibration) do not move inside one
+    window optimization, so this is hoisted out of the LM loop."""
+    Rh0 = frames.R0_cw[points.host]
+    th0 = frames.t0_cw[points.host]
+    geoj = jax.vmap(
+        lambda Rr, tr, uu, vv, dd: _geometric_jacobians(calib, Rr, tr,
+                                                        uu, vv, dd)
+    )
+
+    def per_target(R_t0, t_t0):
+        R_th0 = jnp.einsum("ij,pkj->pik", R_t0, Rh0)
+        t_th0 = t_t0[None] - jnp.einsum("pij,pj->pi", R_th0, th0)
+        J_uv_xi, J_uv_dd, J_uv_calib, vz0 = geoj(
+            R_th0, t_th0, points.u, points.v, points.idepth_zero)
+        adj0 = lie.se3_adj(R_th0, t_th0)
+        return J_uv_xi, J_uv_dd, J_uv_calib, vz0, adj0
+
+    return jax.vmap(per_target)(frames.R0_cw, frames.t0_cw)
+
+
 def linearize(
     frames: BAFrames,
     points: BAPoints,
     calib: Calib,
     images: jnp.ndarray,      # [F, 3, H, W] level-0 (I, gx, gy) per frame
     pair_mask: jnp.ndarray,   # [F, P] candidate (target, point) residuals
+    geo=None,                 # optional precomputed fej_geometry(...)
 ) -> BAResiduals:
     """Linearize every candidate photometric residual of the window."""
     h, w = images.shape[-2:]
@@ -188,8 +213,6 @@ def linearize(
     # Per-point host-frame state (gathers).
     Rh = frames.R_cw[points.host]
     th = frames.t_cw[points.host]
-    Rh0 = frames.R0_cw[points.host]
-    th0 = frames.t0_cw[points.host]
     aff_h = frames.aff[points.host]   # [P, 2]
 
     pat = jnp.asarray(PATTERN)
@@ -199,16 +222,13 @@ def linearize(
     proj = jax.vmap(
         lambda Rr, tr, uu, vv, dd: _project(calib, Rr, tr, uu, vv, dd)
     )
-    geoj = jax.vmap(
-        lambda Rr, tr, uu, vv, dd: _geometric_jacobians(calib, Rr, tr, uu, vv, dd)
-    )
+    if geo is None:
+        geo = fej_geometry(frames, points, calib)
 
-    def per_target(img_t, R_t, t_t, R_t0, t_t0, aff_t, pmask):
-        # Relative poses host -> target, current and FEJ: T_th = T_t T_h^-1.
+    def per_target(img_t, R_t, t_t, aff_t, pmask, geo_t):
+        # Relative poses host -> target (current): T_th = T_t T_h^-1.
         R_th = jnp.einsum("ij,pkj->pik", R_t, Rh)
         t_th = t_t[None] - jnp.einsum("pij,pj->pi", R_th, th)
-        R_th0 = jnp.einsum("ij,pkj->pik", R_t0, Rh0)
-        t_th0 = t_t0[None] - jnp.einsum("pij,pj->pi", R_th0, th0)
 
         # --- Residual path (current state), all pattern pixels.
         dpat = jnp.broadcast_to(points.idepth[:, None], up.shape)
@@ -232,11 +252,9 @@ def linearize(
                        HUBER_TH / jnp.maximum(abs_wr, 1e-12))
         wt = hw * wpx * wpx
 
-        # --- Jacobian path (FEJ state), central pixel only (the reference
-        # shares the geometric Jacobian across the pattern too).
-        J_uv_xi, J_uv_dd, J_uv_calib, vz0 = geoj(
-            R_th0, t_th0, points.u, points.v, points.idepth_zero
-        )
+        # --- Jacobian path (FEJ state, precomputed), central pixel only
+        # (the reference shares the geometric Jacobian across the pattern).
+        J_uv_xi, J_uv_dd, J_uv_calib, vz0, adj0 = geo_t
 
         g = jnp.stack([gx, gy], axis=-1)  # [P, K, 2] gradient at current warp
         Jr_xi_t = jnp.einsum("pkx,pxd->pkd", g, J_uv_xi)
@@ -244,7 +262,6 @@ def linearize(
         Jr_cal = jnp.einsum("pkx,pxd->pkd", g, J_uv_calib)
         # Host-pose Jacobian via the adjoint of the FEJ relative pose:
         # T_h <- exp(d) T_h  =>  T_th <- T_th exp(-d) = exp(-Adj(T_th) d) T_th.
-        adj0 = lie.se3_adj(R_th0, t_th0)
         Jr_xi_h = -jnp.einsum("pkd,pde->pke", Jr_xi_t, adj0)
 
         # Affine: r = I_t - exp(a_t - a_h)(c - b_h) - b_t.
@@ -253,7 +270,7 @@ def linearize(
         J_aff_h = jnp.stack([-d_at, rel_a[:, None] * jnp.ones_like(d_at)], -1)
 
         pair_ok = pmask & points.mask
-        all_inb = jnp.all(inb, axis=-1) & jnp.all(vz0, axis=-1)
+        all_inb = jnp.all(inb, axis=-1) & vz0
         oob = pair_ok & ~all_inb
         act = jnp.broadcast_to((pair_ok & all_inb)[:, None], inb.shape)
 
@@ -267,8 +284,7 @@ def linearize(
                 act, energy, oob, ucn, vcn, dcn)
 
     outs = jax.vmap(per_target)(
-        images, frames.R_cw, frames.t_cw, frames.R0_cw, frames.t0_cw,
-        frames.aff, pair_mask,
+        images, frames.R_cw, frames.t_cw, frames.aff, pair_mask, geo,
     )
     (r, wt, J_pose_t, J_pose_h, J_aff_t, J_aff_h, J_calib, J_dd,
      active, energy, oob, u_new, v_new, idepth_new) = outs
