@@ -154,12 +154,14 @@ def optimize(problem: BAProblem, images: jnp.ndarray,
         step_sq = jnp.sum(dx * dx) + jnp.sum(dxd * dxd) / jnp.maximum(
             jnp.sum(st.points.mask.astype(jnp.float32)), 1.0
         )
-        # Converged when the step is tiny OR an accepted step no longer
-        # buys energy (the reference's canbreak small-step termination,
-        # FullSystemOptimize.cpp:550-586) — saves 1-2 device iterations
-        # per keyframe in steady state.
+        # Converged when the step is tiny OR the trial step moved the
+        # energy by <2e-4 relative — in EITHER direction (the reference's
+        # canbreak small-step termination, FullSystemOptimize.cpp:550-586).
+        # A REJECTED flat step must terminate too: at a converged state
+        # e_n == energy ties lose the accept test, and without this the
+        # loop burns all max_iters device iterations going nowhere.
         rel_impr = (st.energy - e_n) / jnp.maximum(st.energy, 1e-12)
-        converged = (step_sq < 1e-10) | (accept & (rel_impr < 2e-4))
+        converged = (step_sq < 1e-10) | (jnp.abs(rel_impr) < 2e-4)
 
         sel = lambda a, b: jax.tree_util.tree_map(
             lambda x, y: jnp.where(accept, x, y), a, b
@@ -175,7 +177,11 @@ def optimize(problem: BAProblem, images: jnp.ndarray,
             lam=jnp.where(accept, jnp.maximum(st.lam * 0.25, 1e-6),
                           st.lam * 4.0),
             it=st.it + 1,
-            done=(converged & (st.it >= MIN_BA_ITERS)) | (st.lam > 1e3),
+            # st.it+1 = iterations completed including this body: a
+            # converged first iteration may exit (MIN_BA_ITERS=1 matches
+            # the reference; the old `st.it >= 1` gate silently forced a
+            # second full iteration).
+            done=(converged & (st.it + 1 >= MIN_BA_ITERS)) | (st.lam > 1e3),
         )
 
     out = jax.lax.while_loop(cond, body, init)

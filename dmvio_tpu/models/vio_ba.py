@@ -431,11 +431,14 @@ def optimize(problem: VIOProblem, images: jnp.ndarray,
             lam=jnp.where(accept, jnp.maximum(st.lam * 0.25, 1e-6),
                           st.lam * 4.0),
             it=st.it + 1,
-            # Small-step OR accepted-but-flat termination (the reference's
-            # canbreak, FullSystemOptimize.cpp:550-586).
+            # Small-step OR flat-step termination in EITHER direction
+            # (the reference's canbreak, FullSystemOptimize.cpp:550-586):
+            # at a converged state a trial step ties the energy, loses the
+            # strict accept test, and a reject-only loop would burn every
+            # remaining device iteration going nowhere.
             done=(step_sq < 1e-12) | (st.lam > 1e4)
-            | (accept & ((st.energy - e_n)
-                         < 2e-4 * jnp.maximum(st.energy, 1e-12))),
+            | (jnp.abs(st.energy - e_n)
+               < 2e-4 * jnp.maximum(st.energy, 1e-12)),
         )
 
     out = jax.lax.while_loop(cond, body, st0)

@@ -171,3 +171,56 @@ def test_self_residual_zero_for_consistent_scene(scene):
     np.testing.assert_allclose(
         np.where(np.asarray(act), np.asarray(lin.r), 0.0), 0.0, atol=1e-3
     )
+
+
+def test_patch_sample_matches_bilinear():
+    """gather_patches + sample3 == bilinear sampling of (I, gx, gy) images.
+
+    The alternative BA sampling path (ops/patch_sample.py): one 16x16 patch
+    per point, with intensity/gradient samples reconstructed by in-patch
+    one-hot contractions. gx/gy must match bilinear interpolation of the
+    reference's central-difference gradient images
+    (FrameHessian::makeImages, src/dso/FullSystem/HessianBlocks.cpp:128).
+    """
+    from dmvio_tpu.ops import interp, patch_sample
+
+    rng = np.random.default_rng(3)
+    H = W = 64
+    img = jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32))
+    gx = 0.5 * (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1))
+    gy = 0.5 * (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0))
+
+    P, K = 37, 8
+    uc = jnp.asarray(rng.uniform(10, W - 10, P).astype(np.float32))
+    vc = jnp.asarray(rng.uniform(10, H - 10, P).astype(np.float32))
+    # Pattern samples within +-3 px of the centre (in-patch by design).
+    u = uc[:, None] + jnp.asarray(rng.uniform(-3, 3, (P, K)), jnp.float32)
+    v = vc[:, None] + jnp.asarray(rng.uniform(-3, 3, (P, K)), jnp.float32)
+
+    patches, x0, y0 = patch_sample.gather_patches(img, uc, vc)
+    i_s, gx_s, gy_s, ok = patch_sample.sample3(patches, x0, y0, u, v)
+    assert bool(jnp.all(ok))
+
+    np.testing.assert_allclose(
+        np.asarray(i_s), np.asarray(interp.bilinear(img, u, v)),
+        rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(gx_s), np.asarray(interp.bilinear(gx, u, v)),
+        rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(gy_s), np.asarray(interp.bilinear(gy, u, v)),
+        rtol=1e-5, atol=1e-3)
+
+
+def test_patch_sample_flags_out_of_patch():
+    """Samples outside the 16x16 patch stencil are masked, not garbage."""
+    from dmvio_tpu.ops import patch_sample
+
+    img = jnp.zeros((64, 64), jnp.float32)
+    uc = jnp.asarray([32.0])
+    vc = jnp.asarray([32.0])
+    patches, x0, y0 = patch_sample.gather_patches(img, uc, vc)
+    u = jnp.asarray([[32.0, 32.0 + 40.0]])
+    v = jnp.asarray([[32.0, 32.0]])
+    _, _, _, ok = patch_sample.sample3(patches, x0, y0, u, v)
+    assert bool(ok[0, 0]) and not bool(ok[0, 1])
