@@ -15,6 +15,7 @@ Prints ONE JSON line.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -33,7 +34,7 @@ def main():
     N_WARM = 12     # minimum warmup; extended until the first KFs exist so
                     # every program (init, track, trace, BA, marg) is
                     # compiled before the timed region
-    N_WARM_MAX = 40
+    N_WARM_MAX = 64
     N_MEAS = 72     # long window: the device link's latency jitter (rare
                     # multi-second stalls) must average out
 
@@ -52,6 +53,8 @@ def main():
     # 20 fps requirement refers to (linearizeOperation=false).
     cfg = window.Config(f_max=8, p_max=2048, i_max=2048, max_frames=7,
                         levels=6, ba_iters=6, realtime=True)
+    if os.environ.get("BENCH_RT_DEPTH"):
+        cfg.rt_depth_max = int(os.environ["BENCH_RT_DEPTH"])
     fs = full_system.FullSystem(calib, H, W, cfg)
 
     frames = []
@@ -68,7 +71,13 @@ def main():
     for i in range(N_WARM_MAX):
         fs.add_frame(frames[i], timestamp=i * 0.05)
         n_warm += 1
-        if n_warm >= N_WARM and fs.initialized and fs.stats_kf >= 5:
+        # Steady state starts once the window has FILLED (max_frames
+        # keyframes) and marginalization has run a couple of times: the
+        # marg-path programs compile / load from the persistent cache on
+        # first use, a one-time 2-3s hit that must not land in the timed
+        # region.
+        if n_warm >= N_WARM and fs.initialized \
+                and fs.stats_kf >= cfg.max_frames + 2:
             break
     if not fs.initialized:
         raise RuntimeError("benchmark pipeline failed to initialize")
@@ -81,7 +90,7 @@ def main():
 
     fps = N_MEAS / dt
     baseline_fps = 20.0  # TUM-VI camera rate = realtime requirement
-    import os, sys
+    import sys
     if os.environ.get("BENCH_VERBOSE"):
         from dmvio_tpu.utils.timing import get_stats
         for k, v in sorted(get_stats().items()):

@@ -85,7 +85,13 @@ class _LoopState(NamedTuple):
     frames: BAFrames
     points: BAPoints
     calib: Calib
-    lin: residuals.BAResiduals
+    # The ACCUMULATED system (BASystem, ~0.6 MB) rides the loop carry, not
+    # the raw linearization (BAResiduals, [F,P,K,*] Jacobians, ~20 MB):
+    # while_loop double-buffers its carry every iteration, and carrying the
+    # dense Jacobians cost ~1.6 ms/iteration of pure copy (measured). The
+    # final-state linearization for outlier classification is recomputed
+    # once after the loop instead.
+    sys: ba_solve.BASystem
     energy: jnp.ndarray       # accepted total energy
     photo_energy: jnp.ndarray
     lam: jnp.ndarray
@@ -127,7 +133,8 @@ def optimize(problem: BAProblem, images: jnp.ndarray,
 
     init = _LoopState(
         frames=problem.frames, points=problem.points, calib=problem.calib,
-        lin=lin0, energy=e0, photo_energy=jnp.sum(lin0.energy),
+        sys=ba_solve.accumulate(lin0, problem.points.host, F),
+        energy=e0, photo_energy=jnp.sum(lin0.energy),
         lam=jnp.asarray(1e-4, jnp.float32),
         it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False),
     )
@@ -136,7 +143,7 @@ def optimize(problem: BAProblem, images: jnp.ndarray,
         return (st.it < max_iters) & ~st.done
 
     def body(st: _LoopState):
-        sys = ba_solve.accumulate(st.lin, st.points.host, F)
+        sys = st.sys
         delta = ba_solve.state_delta(st.frames, st.calib, problem.calib0)
         bM_eff = problem.bM0 + problem.HM @ delta
         b_prior = problem.prior_diag * delta
@@ -170,7 +177,7 @@ def optimize(problem: BAProblem, images: jnp.ndarray,
             frames=sel(frames_n, st.frames),
             points=sel(points_n, st.points),
             calib=sel(calib_n, st.calib),
-            lin=sel(lin_n, st.lin),
+            sys=sel(ba_solve.accumulate(lin_n, points_n.host, F), st.sys),
             energy=jnp.where(accept, e_n, st.energy),
             photo_energy=jnp.where(accept, jnp.sum(lin_n.energy),
                                    st.photo_energy),
@@ -188,8 +195,10 @@ def optimize(problem: BAProblem, images: jnp.ndarray,
 
     # Outlier classification on the final linearization (reference
     # applyRes / setNewFrameEnergyTH semantics, simplified: per-pair robust
-    # energy thresholded against the global outlier energy).
-    lin_f = out.lin
+    # energy thresholded against the global outlier energy). Recomputed at
+    # the accepted state — cheaper than carrying the [F,P,K] linearization
+    # through the loop (see _LoopState).
+    lin_f = lin_at(out.frames, out.points, out.calib)
     pair_ok = problem.pair_mask & problem.points.mask[None, :]
     th = OUTLIER_TH * PATTERN_NUM
     outlier = pair_ok & ((lin_f.energy > th) | lin_f.oob)

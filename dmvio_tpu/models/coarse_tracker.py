@@ -246,7 +246,17 @@ def _track_level(
         Hn, bn_vec, en, nn = eval_state(Rn, tn, rhon, bn, vn, biasn,
                                         st.cutoff_mult, st.terms)
         accept = (en < st.energy) & jnp.isfinite(en)
-        small = jnp.sum(step8 * step8) < 1e-12
+        # Reference termination: break when the step norm drops under 1e-3
+        # (trackNewestCoarse, CoarseTracker.cpp:655-663) — i.e. squared
+        # norm 1e-6. ALSO break when an ACCEPTED step no longer moves the
+        # energy: each LM iteration costs a full image-sampling pass on
+        # device, and a converged level otherwise burns its whole iteration
+        # budget. (Flat REJECTED steps must NOT break — mid-optimization a
+        # barely-worse trial only means lambda is too small; breaking there
+        # measurably hurts trajectory accuracy.)
+        small = jnp.sum(step8 * step8) < 1e-6
+        flat = accept & (jnp.abs(en - st.energy)
+                         < 2e-4 * jnp.maximum(st.energy, 1e-12))
         sel = lambda a, o: jnp.where(accept, a, o)
         return _LMState(
             R=sel(Rn, st.R),
@@ -263,7 +273,7 @@ def _track_level(
             b=sel(bn_vec, st.b),
             cutoff_mult=st.cutoff_mult,
             it=st.it + 1,
-            done=small | (st.lam > 1e4),
+            done=small | flat | (st.lam > 1e4),
         )
 
     out = jax.lax.while_loop(cond, body, init)

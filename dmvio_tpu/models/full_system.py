@@ -27,7 +27,7 @@ from dmvio_tpu.models import ba, coarse_tracker, initializer, window
 from dmvio_tpu.models import imu_system, vio_ba
 from dmvio_tpu.ops import ba_solve, immature, interp, pyramid, select
 from dmvio_tpu.ops.residuals import BAFrames, BAPoints
-from dmvio_tpu.utils import lie
+from dmvio_tpu.utils import fetch, lie
 from dmvio_tpu.utils.camera import Calib, PATTERN
 from dmvio_tpu.utils.timing import TimeMeasurement
 
@@ -113,6 +113,11 @@ class FullSystem:
         self._published_status = -1
         self._rt_queue = []       # in-flight frames (realtime pipeline)
         self._kf_finalize = None  # deferred keyframe tail (realtime)
+        # Fetch pool: device->host copies cost a fixed ~30-55ms round trip
+        # on the TPU link; issuing them from worker threads at DISPATCH
+        # time overlaps that latency with the host's consume/bookkeeping
+        # work (utils/fetch.py).
+        self._fetcher = fetch.AsyncFetcher(enabled=cfg.async_fetch)
         self._last_pose_dev = None   # device pose history for candidates
         self._prev_pose_dev = None
 
@@ -290,35 +295,36 @@ class FullSystem:
             ref_pose=(None if self._kf_finalize is not None
                       else self.ref_pose_np),
             shell_idx=len(self.shells) - 1,
-            R_cw=R_cw, t_cw=t_cw, aff=aff_new, imm_before=imm_before))
-        if len(self._rt_queue) > self.cfg.rt_batch:
-            self._rt_drain(keep_last=True)
+            R_cw=R_cw, t_cw=t_cw, aff=aff_new, imm_before=imm_before,
+            # Start the host copy NOW: by the time this frame is consumed
+            # (one frame later) the round trip has landed.
+            future=self._fetcher.submit(packed)))
+        self._rt_drain(keep_last=True)
 
     def _rt_drain(self, keep_last: bool) -> None:
-        """Fetch a batch of in-flight frames' packed stats with ONE
-        blocking device_get (one tunnel round trip per rt_batch frames)
-        and consume them in order. A pending deferred keyframe's results
-        ride the same fetch. keep_last leaves the newest frame in flight
-        (the steady-state pipeline depth)."""
-        batch = self._rt_queue[:-1] if keep_last else list(self._rt_queue)
-        if not batch:
-            return
-        kfp = self._kf_finalize
-        with TimeMeasurement("track_fetch"):
-            fetched = jax.device_get(
-                (tuple(p["packed"] for p in batch),
-                 kfp["fetch"] if kfp is not None else None))
-        packs, kf_fetched = fetched
-        if kfp is not None:
-            # Finalize BEFORE popping: the ref-pose patch loop must see
-            # the batch entries too.
-            self._finalize_kf(prefetched=kf_fetched)
-        self._rt_queue = self._rt_queue[-1:] if keep_last else []
-        for p, arr in zip(batch, packs):
-            resets0 = self.stats_resets
+        """Consume in-flight frames whose host copies have landed, oldest
+        first. The copies were issued at dispatch time (one per frame, on
+        the fetch pool) so the link round trip overlaps 1-3 frames of
+        dispatch/consume host work; this only BLOCKS when the pipeline
+        exceeds rt_depth_max frames (bounding keyframe-decision lag) or on
+        a full flush. keep_last leaves the newest frame in flight (the
+        steady-state minimum pipeline depth)."""
+        keep = 1 if keep_last else 0
+        cap = max(self.cfg.rt_depth_max, keep) if keep_last else 0
+        while len(self._rt_queue) > keep:
+            p = self._rt_queue[0]
+            if len(self._rt_queue) <= cap and not p["future"].done():
+                break
+            with TimeMeasurement("track_fetch"):
+                arr = p["future"].result()
+            if p.get("ref_pose") is None:
+                # Tracked against a reference whose pose is still in
+                # flight: finalize the deferred keyframe first (its copy
+                # rides the second fetch worker). The patch loop inside
+                # must see this entry, so pop only afterwards.
+                self._finalize_kf()
+            self._rt_queue.pop(0)
             self._rt_consume(p, arr)
-            if self.stats_resets != resets0:
-                break    # the rest of the batch belongs to the dead map
 
     def _rt_consume(self, p, packed_np) -> None:
         """Finish a pipelined frame: host bookkeeping + keyframe decision
@@ -488,7 +494,10 @@ class FullSystem:
             self.ref_kf_slot)
         p.update(packed=packed, ref_kf_id=self.ref_kf_id,
                  ref_pose=None,   # patched by _finalize_kf
-                 R_cw=R_cw, t_cw=t_cw, aff=aff_new, imm_before=self.imm)
+                 R_cw=R_cw, t_cw=t_cw, aff=aff_new, imm_before=self.imm,
+                 # The pending copy belongs to the replaced dispatch —
+                 # start a fresh one for the replacement results.
+                 future=self._fetcher.submit(packed))
         if self._rt_queue and p is self._rt_queue[-1]:
             # Keep the device pose history pointing at the refreshed solve.
             self._last_pose_dev = (R_cw, t_cw)
@@ -1158,10 +1167,13 @@ class FullSystem:
         prev_ref = self.ref_kf_id
         self.ref_kf_slot = slot
         self.ref_kf_id = fid
+        fetch_refs = (vlist_d, HM_d, bM_d, n_pre_d, n_post_d,
+                      window_ops.kf_pose_pack(w.frames))
         self._kf_finalize = dict(
             slot=slot, fid=fid, snap=snap, prev_ref=prev_ref,
-            fetch=(vlist_d, HM_d, bM_d, n_pre_d, n_post_d,
-                   window_ops.kf_pose_pack(w.frames)),
+            # Copy starts now, overlapping the next frame's tracking (the
+            # second fetch worker; concurrent copies share one round trip).
+            future=self._fetcher.submit(fetch_refs),
             pts=pts_d, pm=pm_d)
 
     def _finalize_kf(self, prefetched=None) -> None:
@@ -1176,7 +1188,7 @@ class FullSystem:
         else:
             with TimeMeasurement("kf_finalize_fetch"):
                 (vlist, HM_np, bM_np, n_pre, n_post,
-                 pose_pack_np) = jax.device_get(kfp["fetch"])
+                 pose_pack_np) = kfp["future"].result()
         if self._n_active > 60 and \
                 float(n_pre) < max(40.0, 0.15 * self._n_active):
             # Rare divergence revert, one frame late: restore the

@@ -333,7 +333,11 @@ def optimize(problem: VIOProblem, images: jnp.ndarray,
         points: BAPoints
         calib: Calib
         states: VIOStates
-        lin: residuals.BAResiduals
+        # Accumulated visual system (~0.6 MB), NOT the raw [F,P,K]
+        # linearization (~20 MB): while_loop double-buffers the carry
+        # every iteration and carrying the Jacobians costs ~1.6 ms/it of
+        # pure copy (measured; see models/ba.py _LoopState).
+        sys: ba_solve.BASystem
         energy: jnp.ndarray
         imu_energy: jnp.ndarray
         lam: jnp.ndarray
@@ -351,7 +355,8 @@ def optimize(problem: VIOProblem, images: jnp.ndarray,
     w_eff = w_dso * jnp.where(problem.imu_on, dyn, 1.0)
     e0, ei0 = energies(base.frames, base.points, base.calib, problem.states,
                        lin0)
-    st0 = _St(base.frames, base.points, base.calib, problem.states, lin0,
+    st0 = _St(base.frames, base.points, base.calib, problem.states,
+              ba_solve.accumulate(lin0, base.points.host, F),
               e0, ei0, jnp.asarray(1e-4, jnp.float32),
               jnp.asarray(0, jnp.int32), jnp.asarray(False))
 
@@ -359,7 +364,7 @@ def optimize(problem: VIOProblem, images: jnp.ndarray,
         return (st.it < max_iters) & ~st.done
 
     def body(st):
-        sys_v = ba_solve.accumulate(st.lin, st.points.host, F)
+        sys_v = st.sys
         delta = vio_delta(st.frames, st.calib, base.calib0, st.states, F)
 
         # Point-Schur on the visual system, then embed into C_ext.
@@ -425,7 +430,7 @@ def optimize(problem: VIOProblem, images: jnp.ndarray,
         return _St(
             frames=sel(frames_n, st.frames), points=sel(points_n, st.points),
             calib=sel(calib_n, st.calib), states=sel(stn, st.states),
-            lin=sel(lin_n, st.lin),
+            sys=sel(ba_solve.accumulate(lin_n, points_n.host, F), st.sys),
             energy=jnp.where(accept, e_n, st.energy),
             imu_energy=jnp.where(accept, ei_n, st.imu_energy),
             lam=jnp.where(accept, jnp.maximum(st.lam * 0.25, 1e-6),
@@ -443,14 +448,17 @@ def optimize(problem: VIOProblem, images: jnp.ndarray,
 
     out = jax.lax.while_loop(cond, body, st0)
 
+    # Final-state linearization for outlier classification, recomputed once
+    # (cheaper than carrying the [F,P,K] arrays through the loop).
+    lin_f = lin_vis(out.frames, out.points, out.calib)
     pair_ok = base.pair_mask & base.points.mask[None, :]
     th = residuals.OUTLIER_TH * 8
-    outlier = pair_ok & ((out.lin.energy > th) | out.lin.oob)
+    outlier = pair_ok & ((lin_f.energy > th) | lin_f.oob)
     return VIOResult(
         frames=out.frames, points=out.points, calib=out.calib,
-        states=out.states, energy=jnp.sum(out.lin.energy),
+        states=out.states, energy=jnp.sum(lin_f.energy),
         imu_energy=out.imu_energy, iters=out.it,
-        pair_outlier=outlier, pair_energy=out.lin.energy,
+        pair_outlier=outlier, pair_energy=lin_f.energy,
         vis_rmse=rmse0, dyn_weight=dyn,
     )
 

@@ -49,13 +49,19 @@ class Config:
     # and the keyframe path. Visual-only for now (the IMU coarse filter
     # syncs per frame and would serialize the pipeline).
     realtime: bool = False
-    # Realtime fetch batching: consume tracking results in groups of this
-    # size with one blocking device fetch per group. Measured on the TPU
-    # tunnel: batching does NOT reduce the round-trip cost (the two
-    # transfers serialize, ~55ms vs ~35ms) and the extra keyframe-decision
-    # latency destabilizes the KF cadence (+25% keyframes) — so the
-    # default stays 1 (one frame deep, the reference's pipeline depth).
-    rt_batch: int = 1
+    # Realtime pipeline depth cap: frames are consumed as soon as their
+    # result copy lands (issued at dispatch time on the fetch pool,
+    # utils/fetch.py — one link round trip is ~30-55ms and overlaps 1-3
+    # frames of host work); the frame loop only blocks when more than this
+    # many frames are in flight, bounding keyframe-decision lag. At camera
+    # rate the copy lands before the next frame, so effective depth is 1
+    # (the reference's pipeline depth, FullSystem.cpp:1124-1320).
+    rt_depth_max: int = 3
+    # Issue device->host result copies from a fetch-thread pool at dispatch
+    # time instead of blocking the frame loop (utils/fetch.py). Consume
+    # order is unchanged; only the link round trip moves off the critical
+    # path.
+    async_fetch: bool = True
 
 
 @dataclasses.dataclass
