@@ -30,6 +30,13 @@ from dmvio_tpu.utils.camera import Calib
 
 CPART = 4  # calib block size
 
+# Exact-f32 einsum for normal-equation assembly: the contractions are tiny
+# (pattern axis K=8, point axis P), so full precision costs nothing, while
+# the TPU bf16 matmul default injects ~1e-3 relative noise into H that the
+# LM solve then amplifies.
+import functools as _functools
+_es = _functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
 
 def cdim(F: int) -> int:
     return CPART + 8 * F
@@ -86,12 +93,12 @@ def full_jacobian(res: BAResiduals, host: jnp.ndarray, F: int) -> jnp.ndarray:
     return jnp.concatenate([res.J_calib, J_frames], axis=-1)    # [F,P,K,C]
 
 
-def accumulate(res: BAResiduals, host: jnp.ndarray, F: int) -> BASystem:
-    """Assemble the normal equations from a linearization.
+def accumulate_dense(res: BAResiduals, host: jnp.ndarray, F: int) -> BASystem:
+    """Reference assembly via the materialized full Jacobian [F, P, K, C].
 
-    One big [C, N] @ [N, C] matmul for the frame block (MXU), einsums over
-    the point axis for the Schur pieces.
-    """
+    Kept for testing: `accumulate` must produce the same system. This form
+    streams ~100 MB of scattered-Jacobian HBM traffic per call, which
+    dominated the BA iteration cost (measured ~4-5 ms/iteration)."""
     J = full_jacobian(res, host, F)        # [F, P, K, C]
     C = J.shape[-1]
     wt = res.wt                            # [F, P, K], 0 on inactive lanes
@@ -107,6 +114,78 @@ def accumulate(res: BAResiduals, host: jnp.ndarray, F: int) -> BASystem:
     H_fd = jnp.einsum("fpk,fpkc->pc", wJdd, J)
     H_dd = jnp.einsum("fpk,fpk->p", wJdd, res.J_dd)
     b_d = jnp.einsum("fpk,fpk->p", wJdd, r)
+
+    energy = jnp.sum(res.energy)
+    num_terms = jnp.sum(res.active.astype(jnp.float32))
+    return BASystem(H=H, b=b, H_fd=H_fd, H_dd=H_dd, b_d=b_d,
+                    energy=energy, num_terms=num_terms)
+
+
+def accumulate(res: BAResiduals, host: jnp.ndarray, F: int) -> BASystem:
+    """Assemble the normal equations blockwise — no full-Jacobian scatter.
+
+    Each (target f, point p) pair touches exactly three column blocks of
+    the state (calib 4, target pose+aff 8, host pose+aff 8), so the normal
+    equations decompose into per-pair 8x8 / 8x4 / 4x4 blocks contracted
+    over the pattern axis, then placed by target index (aligned) and host
+    index (a one-hot [P, F] contraction — the same stitching idea as the
+    reference's AccumulatedTopHessian::stitchDouble,
+    AccumulatedTopHessian.h:85-139, but as MXU matmuls). Intermediates are
+    [F, P, 8, 8] at most (~4 MB) instead of the dense [F, P, K, C]
+    Jacobian (~35 MB); HBM traffic per call drops ~20x.
+    """
+    P = host.shape[0]
+    Jt = jnp.concatenate([res.J_pose_t, res.J_aff_t], axis=-1)  # [F,P,K,8]
+    Jh = jnp.concatenate([res.J_pose_h, res.J_aff_h], axis=-1)  # [F,P,K,8]
+    Jc = res.J_calib                                            # [F,P,K,4]
+    w = res.wt
+    r = res.r
+    O = jax.nn.one_hot(host, F, dtype=Jt.dtype)                 # [P, F]
+
+    wJt = Jt * w[..., None]
+    wJh = Jh * w[..., None]
+    wJc = Jc * w[..., None]
+
+    # --- frame-frame [F,8,F,8] -----------------------------------------
+    h_tt = _es("fpka,fpkb->fab", wJt, Jt)     # target diag blocks
+    h_hh = _es("fpka,fpkb->pab", wJh, Jh)     # host (per point)
+    h_hh_g = _es("pg,pab->gab", O, h_hh)      # host diag blocks
+    h_th = _es("fpka,fpkb->fpab", wJt, Jh)    # target x host
+    h_th_g = _es("pg,fpab->fgab", O, h_th)    # [F(t),F(h),8,8]
+
+    eyeF = jnp.eye(F, dtype=Jt.dtype)
+    M = (_es("fab,fg->fagb", h_tt + h_hh_g, eyeF)
+         + jnp.transpose(h_th_g, (0, 2, 1, 3))       # (f,a,g,b)
+         + jnp.transpose(h_th_g, (1, 3, 0, 2)))      # symmetric part
+    H_ff = M.reshape(8 * F, 8 * F)
+
+    # --- calib rows ------------------------------------------------------
+    H_cc = _es("fpka,fpkb->ab", wJc, Jc)                  # [4,4]
+    h_tc = _es("fpka,fpkb->fab", wJt, Jc)                 # [F,8,4]
+    h_hc = _es("pg,pab->gab", O,
+                      _es("fpka,fpkb->pab", wJh, Jc))     # [F,8,4]
+    H_fc = (h_tc + h_hc).reshape(8 * F, CPART)
+    H = jnp.concatenate([
+        jnp.concatenate([H_cc, H_fc.T], axis=1),
+        jnp.concatenate([H_fc, H_ff], axis=1),
+    ], axis=0)
+
+    # --- gradient ---------------------------------------------------------
+    b_c = _es("fpka,fpk->a", wJc, r)
+    b_t = _es("fpka,fpk->fa", wJt, r)
+    b_h = _es("pg,pa->ga", O, _es("fpka,fpk->pa", wJh, r))
+    b = jnp.concatenate([b_c, (b_t + b_h).reshape(-1)])
+
+    # --- point coupling / Schur pieces -----------------------------------
+    wJdd = w * res.J_dd                                          # [F,P,K]
+    fd_c = _es("fpk,fpkb->pb", wJdd, Jc)                  # [P,4]
+    fd_t = _es("fpk,fpka->pfa", wJdd, Jt)                 # [P,F,8]
+    fd_h = _es("pg,pa->pga", O,
+                      _es("fpk,fpka->pa", wJdd, Jh))      # [P,F,8]
+    H_fd = jnp.concatenate(
+        [fd_c, (fd_t + fd_h).reshape(P, 8 * F)], axis=1)
+    H_dd = _es("fpk,fpk->p", wJdd, res.J_dd)
+    b_d = _es("fpk,fpk->p", wJdd, r)
 
     energy = jnp.sum(res.energy)
     num_terms = jnp.sum(res.active.astype(jnp.float32))
@@ -237,29 +316,29 @@ def marginalize_points_system(
       pmask: [P] points to marginalize.
     Returns (HM_add [C,C], bM0_add [C]).
     """
-    J = full_jacobian(res, host, F)                 # [F, P, K, C]
-    r0 = (
-        res.r
-        - jnp.einsum("fpkc,c->fpk", J, delta)
-        - res.J_dd * delta_d[None, :, None]
-    )
-    wt = res.wt * pmask[None, :, None].astype(res.wt.dtype)
+    # r0 = r - J delta - J_dd delta_d, contracted blockwise (each pair only
+    # touches calib + target + host coordinate blocks — no [F,P,K,C]
+    # Jacobian materialization; summation order matches `accumulate` so the
+    # fold-then-solve Schur identity holds to f32).
+    Jt = jnp.concatenate([res.J_pose_t, res.J_aff_t], axis=-1)  # [F,P,K,8]
+    Jh = jnp.concatenate([res.J_pose_h, res.J_aff_h], axis=-1)
+    d_c = delta[:CPART]
+    d_f = delta[CPART:].reshape(F, 8)
+    d_h = d_f[host]                                             # [P, 8]
+    Jdelta = (_es("fpka,a->fpk", res.J_calib, d_c)
+              + _es("fpka,fa->fpk", Jt, d_f)
+              + _es("fpka,pa->fpk", Jh, d_h))
+    r0 = res.r - Jdelta - res.J_dd * delta_d[None, :, None]
 
-    # Per-point blocks.
-    Jw = J * wt[..., None]
-    H_ff_p = jnp.einsum("fpkc,fpkd->pcd", Jw, J)           # [P, C, C]
-    b_f_p = jnp.einsum("fpkc,fpk->pc", Jw, r0)             # [P, C]
-    H_fd_p = jnp.einsum("fpk,fpkc->pc", wt * res.J_dd, J)  # [P, C]
-    H_dd_p = jnp.einsum("fpk,fpk->p", wt * res.J_dd, res.J_dd)
-    b_d_p = jnp.einsum("fpk,fpk->p", wt * res.J_dd, r0)
+    # Normal equations over ONLY the marginalized points' pairs.
+    res_m = res._replace(
+        r=r0, wt=res.wt * pmask[None, :, None].astype(res.wt.dtype))
+    sys = accumulate(res_m, host, F)
 
-    Hdd_inv = jnp.where(pmask & (H_dd_p > 1e-8), 1.0 / (H_dd_p + 1e-10), 0.0)
-    HM_add = jnp.einsum("pcd->cd", H_ff_p) - jnp.einsum(
-        "pc,pd,p->cd", H_fd_p, H_fd_p, Hdd_inv
-    )
-    bM_add = jnp.einsum("pc->c", b_f_p) - jnp.einsum(
-        "pc,p,p->c", H_fd_p, b_d_p, Hdd_inv
-    )
+    Hdd_inv = jnp.where(pmask & (sys.H_dd > 1e-8),
+                        1.0 / (sys.H_dd + 1e-10), 0.0)
+    HM_add = sys.H - sys.H_fd.T @ (sys.H_fd * Hdd_inv[:, None])
+    bM_add = sys.b - sys.H_fd.T @ (sys.b_d * Hdd_inv)
     return HM_add, bM_add
 
 

@@ -122,8 +122,11 @@ def gather_patches(img: jnp.ndarray, uc: jnp.ndarray, vc: jnp.ndarray):
     """
     h, w = img.shape
     x0, y0 = _anchors(uc, vc, h, w)
-    # The kernel's aligned-slab trick asserts h - _SLAB ≡ 0 (mod 8).
-    if jax.default_backend() == "tpu" and h % 8 == 0:
+    # The kernel's aligned-slab trick asserts h - _SLAB ≡ 0 (mod 8), and
+    # Mosaic's lane-dimension dynamic_rotate requires the row width to be a
+    # whole number of 128-lane tiles (w=320 fails to compile). Off-size
+    # images take the XLA block-gather path.
+    if jax.default_backend() == "tpu" and h % 8 == 0 and w % 128 == 0:
         patches = _gather_tpu(img, y0, x0, h=h, w=w)
     else:
         patches = _gather_xla(img, y0, x0)

@@ -28,7 +28,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from dmvio_tpu.ops import interp
+from dmvio_tpu.ops import interp, patch_sample
 from dmvio_tpu.utils import lie
 from dmvio_tpu.utils.camera import Calib, PATTERN
 
@@ -235,8 +235,19 @@ def linearize(
         un, vn, _, _, _, _, vz = proj(R_th, t_th, up, vp, dpat)
         inb = interp.in_bounds(un, vn, h, w, pad=2.0) & vz
 
-        samp = interp.bilinear_stack(img_t, un, vn)
-        i_t, gx, gy = samp[..., 0], samp[..., 1], samp[..., 2]
+        # One 16x16 intensity patch per pair (Pallas gather on TPU); all
+        # pattern samples + gradients come from in-patch dense math.
+        # Profiled: the scattered [F*P*K, 3] bilinear gathers were the
+        # dominant BA-iteration kernels (~4 ms/iteration at F=8, P=2048);
+        # the patch path costs ~1.2 ms. Pattern pixels warped outside
+        # their patch (extreme perspective stretch) fold into the OOB mask
+        # — the reference drops such wide-warp residuals via its own OOB
+        # checks (Residuals.cpp:118-140).
+        CENTER = 4  # PATTERN[4] == (0, 0)
+        patches, px0, py0 = patch_sample.gather_patches(
+            img_t[0], un[:, CENTER], vn[:, CENTER])
+        i_t, gx, gy, okp = patch_sample.sample3(patches, px0, py0, un, vn)
+        inb = inb & okp
 
         rel_a = jnp.exp(aff_t[0] - aff_h[:, 0])
         pred = rel_a[:, None] * (points.color - aff_h[:, 1:2]) + aff_t[1]

@@ -173,3 +173,32 @@ def test_nullspace_annihilates_photometric_gradient():
     H_sc = H - H_fd.T @ (H_fd / H_dd[:, None])
     HscN = H_sc @ np.asarray(N, np.float64)
     assert np.abs(HscN[:, 6]).max() < 1e-3 * max(scale, 1.0)
+
+
+def test_accumulate_blockwise_matches_dense():
+    """Blockwise normal-equation assembly == dense full-Jacobian assembly.
+
+    `accumulate` builds H/b/H_fd from per-pair 8x8 blocks placed by
+    target/host index; `accumulate_dense` materializes the scattered
+    [F,P,K,C] Jacobian (the reference-equivalent form). Same system, bit-
+    for-bit up to f32 summation order."""
+    from dmvio_tpu.ops import residuals as res_mod
+    from tests.test_residuals import make_scene
+
+    calib, images, frames, points, pair_mask = make_scene(seed=7, F=4, P=40)
+    lin = res_mod.linearize(frames, points, calib, images, pair_mask)
+    fast = ba_solve.accumulate(lin, points.host, 4)
+    dense = ba_solve.accumulate_dense(lin, points.host, 4)
+    scale = float(jnp.max(jnp.abs(dense.H))) + 1e-9
+    np.testing.assert_allclose(np.asarray(fast.H), np.asarray(dense.H),
+                               rtol=1e-4, atol=1e-4 * scale)
+    np.testing.assert_allclose(np.asarray(fast.b), np.asarray(dense.b),
+                               rtol=1e-4,
+                               atol=1e-4 * float(jnp.max(jnp.abs(dense.b)) + 1e-9))
+    np.testing.assert_allclose(np.asarray(fast.H_fd), np.asarray(dense.H_fd),
+                               rtol=1e-4,
+                               atol=1e-4 * float(jnp.max(jnp.abs(dense.H_fd)) + 1e-9))
+    np.testing.assert_allclose(np.asarray(fast.H_dd), np.asarray(dense.H_dd),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fast.b_d), np.asarray(dense.b_d),
+                               rtol=1e-5, atol=1e-5)
