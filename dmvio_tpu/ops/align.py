@@ -37,6 +37,27 @@ from dmvio_tpu.ops import interp
 from dmvio_tpu.utils.camera import Calib
 
 
+# Levels whose pixel count is at or below this sample via one-hot MXU
+# matmuls (resolution-bound, trivially cheap on small images); larger
+# levels keep the scalar-unit gather (N-bound, ~80us/corner regardless of
+# resolution — cheaper than an N*H*W matmul only at full resolution).
+_MXU_SAMPLE_AREA = 256 * 256
+
+
+def _sample_stack(tgt_level, un, vn):
+    h, w = tgt_level.shape[-2:]
+    if h * w <= _MXU_SAMPLE_AREA:
+        return interp.bilinear_mxu_stack(tgt_level, un, vn)
+    return interp.bilinear_stack(tgt_level, un, vn)
+
+
+def _sample_intensity(tgt_level, un, vn):
+    h, w = tgt_level.shape[-2:]
+    if h * w <= _MXU_SAMPLE_AREA:
+        return interp.bilinear_mxu(tgt_level[0], un, vn)
+    return interp.bilinear(tgt_level[0], un, vn)
+
+
 class AlignStats(NamedTuple):
     energy: jnp.ndarray      # Huber energy over inlier terms
     num_terms: jnp.ndarray   # number of in-bounds, non-saturated terms
@@ -99,7 +120,7 @@ def calc_energy(
     h, w = tgt_level.shape[-2:]
     un, vn, xn, yn, dn, valid_z = warp_points(pc, calib_l, R, t)
     inb = interp.in_bounds(un, vn, h, w, pad=2.0) & valid_z & pc.mask
-    i_new = interp.bilinear(tgt_level[0], un, vn)
+    i_new = _sample_intensity(tgt_level, un, vn)
     r = i_new - (aff_a * pc.color + aff_b)
     abs_r = jnp.abs(r)
     cutoff = cutoff_th * cutoff_mult
@@ -134,7 +155,7 @@ def calc_sat_profile(
     h, w = tgt_level.shape[-2:]
     un, vn, xn, yn, dn, valid_z = warp_points(pc, calib_l, R, t)
     inb = interp.in_bounds(un, vn, h, w, pad=2.0) & valid_z & pc.mask
-    i_new = interp.bilinear(tgt_level[0], un, vn)
+    i_new = _sample_intensity(tgt_level, un, vn)
     abs_r = jnp.abs(i_new - (aff_a * pc.color + aff_b))
     n_inb = jnp.maximum(jnp.sum(inb.astype(jnp.float32)), 1.0)
     ratios = [jnp.sum(((abs_r > cutoff_th * m) & inb).astype(jnp.float32))
@@ -168,7 +189,7 @@ def calc_res_and_gs(
     un, vn, xn, yn, dn, valid_z = warp_points(pc, calib_l, R, t)
     inb = interp.in_bounds(un, vn, h, w, pad=2.0) & valid_z & pc.mask
 
-    samp = interp.bilinear_stack(tgt_level, un, vn)  # [N, 3]
+    samp = _sample_stack(tgt_level, un, vn)  # [N, 3]
     i_new, gx, gy = samp[..., 0], samp[..., 1], samp[..., 2]
 
     r = i_new - (aff_a * pc.color + aff_b)

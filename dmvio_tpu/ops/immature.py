@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from dmvio_tpu.ops import interp
+from dmvio_tpu.ops import interp, patch_sample
 from dmvio_tpu.utils.camera import Calib, PATTERN
 
 # Status enum (mirrors IPS_* in ImmaturePoint.h:46-52).
@@ -153,10 +153,14 @@ def trace(
     pv = sv[:, :, None] + pat_rot[:, None, :, 1]
     inb = interp.in_bounds(pu, pv, h, w, pad=3.0)
     # MXU-matmul sampling: the search scan is the frontend's biggest
-    # gather; as a structured matmul it rides the systolic array instead
-    # (<=0.05 intensity error — far below photometric noise; selection
-    # only, the GN refinement below samples exactly).
-    i_s = interp.bilinear_mxu(image_n[0], pu, pv)
+    # gather; as a structured matmul it rides the systolic array instead.
+    # Single-pass bf16 (DEFAULT): ~0.4 intensity-unit noise on a 0-255
+    # image, well under the SSD separation between match candidates — this
+    # pass only SELECTS the discrete best sample (3x fewer MXU passes than
+    # HIGH, the kernel is the trace program's entire cost); the GN
+    # refinement below re-samples exactly.
+    i_s = interp.bilinear_mxu(image_n[0], pu, pv,
+                              precision=jax.lax.Precision.DEFAULT)
     err = jnp.where(inb, (i_s - pred[:, None, :]) ** 2, 1e8)
     sample_e = jnp.sum(err, axis=-1)                  # [I, S]
     sample_ok = jnp.all(inb, axis=-1)
@@ -283,15 +287,23 @@ def activate(
             un = x * calib.fx + calib.cx
             vn = y * calib.fy + calib.cy
             inb = interp.in_bounds(un, vn, h, w, pad=2.0) & (pt[..., 2] > 1e-6)
-            samp = interp.bilinear_stack(img_t, un, vn)
+            # One 16x16 patch per (target, candidate) pair; pattern
+            # intensities + gradients from in-patch contractions (same hot-
+            # gather elimination as BA linearize — ops/patch_sample.py;
+            # this GN's scattered gathers cost ~1 ms x 4 per iteration).
+            CENTER = 4  # PATTERN[4] == (0, 0)
+            patches, px0, py0 = patch_sample.gather_patches(
+                img_t[0], un[:, CENTER], vn[:, CENTER])
+            i_s, gx, gy, okp = patch_sample.sample3(patches, px0, py0,
+                                                    un, vn)
             rel_a = jnp.exp(aff_t[0] - aff_h[:, 0])
             pred = rel_a[:, None] * (pool.color - aff_h[:, 1:2]) + aff_t[1]
-            r = samp[..., 0] - pred
+            r = i_s - pred
             # d(u')/dd along both axes, central-difference-free closed form.
             du_dd = calib.fx * (t_th[:, None, 0] - t_th[:, None, 2] * x) / pz
             dv_dd = calib.fy * (t_th[:, None, 1] - t_th[:, None, 2] * y) / pz
-            Jdd = samp[..., 1] * du_dd + samp[..., 2] * dv_dd
-            ok = inb & tmask[:, None]
+            Jdd = gx * du_dd + gy * dv_dd
+            ok = inb & okp & tmask[:, None]
             return r, Jdd, ok
 
         r, Jdd, ok = jax.vmap(per_target)(

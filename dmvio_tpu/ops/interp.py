@@ -109,6 +109,43 @@ def bilinear_mxu(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     return jnp.sum(Z * Wx, axis=-1).reshape(shp)
 
 
+def bilinear_mxu_stack(stack: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                       precision=None) -> jnp.ndarray:
+    """Bilinear sample of a [C, H, W] stack at shared coords -> [..., C],
+    as one-hot MXU matmuls (no gather).
+
+    v_c = (W_y @ stack_c) . W_x with the bilinear row/col weights in W_y
+    [N, H] / W_x [N, W]. Cost is N*H*W*C MACs — on small pyramid levels
+    that is far below the fixed ~80 us/corner the scalar-unit gather costs
+    (which is N-bound, NOT resolution-bound). Used by the coarse tracker
+    for levels where H*W is small; the gather path stays optimal at full
+    resolution.
+    """
+    import jax
+
+    if precision is None:
+        precision = jax.lax.Precision.HIGH
+    c, h, w = stack.shape
+    shp = x.shape
+    x = jnp.clip(x.reshape(-1), 0.0, w - 1.001)
+    y = jnp.clip(y.reshape(-1), 0.0, h - 1.001)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = x - x0
+    dy = y - y0
+    ix = x0.astype(jnp.int32)
+    iy = y0.astype(jnp.int32)
+    rh = jnp.arange(h)[None, :]
+    rw = jnp.arange(w)[None, :]
+    Wy = jnp.where(rh == iy[:, None], 1.0 - dy[:, None], 0.0) + \
+        jnp.where(rh == iy[:, None] + 1, dy[:, None], 0.0)
+    Wx = jnp.where(rw == ix[:, None], 1.0 - dx[:, None], 0.0) + \
+        jnp.where(rw == ix[:, None] + 1, dx[:, None], 0.0)
+    Z = jnp.einsum("nh,chw->ncw", Wy, stack, precision=precision)
+    out = jnp.einsum("ncw,nw->nc", Z, Wx, precision=precision)
+    return out.reshape(shp + (c,))
+
+
 def nearest(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbor sample of img [H, W] at float coords.
 
