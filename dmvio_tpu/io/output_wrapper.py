@@ -49,6 +49,14 @@ class Output3DWrapper:
                                      g2: np.ndarray) -> None:
         """Current metric transform (publishTransformDSOToIMU)."""
 
+    def publish_imu_state(self, timestamp: float, scale: float,
+                          bias_gyro: np.ndarray, bias_acc: np.ndarray,
+                          velocity: np.ndarray,
+                          gravity_dir: np.ndarray) -> None:
+        """Newest keyframe's inertial estimates after BA. Only published
+        when a subscribed wrapper sets wants_imu_state (saves one device
+        fetch per keyframe otherwise)."""
+
     def join(self) -> None:
         """Block until the consumer finished (join)."""
 
@@ -73,3 +81,34 @@ class TrajectoryLogger(Output3DWrapper):
 
     def publish_transform_dso_to_imu(self, s, g2):
         self.transforms.append((s, np.asarray(g2)))
+
+
+class StateStreamWriter(Output3DWrapper):
+    """Per-keyframe inertial estimate streams under the reference's file
+    names (BAIMULogic.cpp:88-91): <prefix>scalesdso.txt (timestamp scale),
+    <prefix>babiasdso.txt (timestamp gyro-bias[3] acc-bias[3]),
+    <prefix>bagravdir.txt (timestamp gravity-direction[3]),
+    <prefix>bavel.txt (timestamp velocity[3])."""
+
+    wants_imu_state = True
+
+    def __init__(self, prefix: str):
+        self._scale = open(prefix + "scalesdso.txt", "w")
+        self._bias = open(prefix + "babiasdso.txt", "w")
+        self._grav = open(prefix + "bagravdir.txt", "w")
+        self._vel = open(prefix + "bavel.txt", "w")
+
+    def publish_imu_state(self, timestamp, scale, bias_gyro, bias_acc,
+                          velocity, gravity_dir):
+        v3 = lambda a: " ".join(f"{float(x):.8g}" for x in np.asarray(a))
+        self._scale.write(f"{timestamp:.6f} {scale:.12g}\n")
+        self._bias.write(f"{timestamp:.6f} {v3(bias_gyro)} {v3(bias_acc)}\n")
+        self._grav.write(f"{timestamp:.6f} {v3(gravity_dir)}\n")
+        self._vel.write(f"{timestamp:.6f} {v3(velocity)}\n")
+        for f in (self._scale, self._bias, self._grav, self._vel):
+            f.flush()    # live-readable streams, one flush per keyframe
+
+    def join(self):
+        for f in (self._scale, self._bias, self._grav, self._vel):
+            f.flush()
+            f.close()

@@ -1241,6 +1241,28 @@ class FullSystem:
             if self._vio_mode():
                 w_.publish_transform_dso_to_imu(
                     float(np.exp(self.imu.s_log)), self.imu.g2)
+        if self._vio_mode() and any(
+                getattr(w_, "wants_imu_state", False)
+                for w_ in self.output_wrappers):
+            # Newest KF's inertial estimates (one small fetch, only when a
+            # stream consumer is attached) — the reference's per-BA scale/
+            # bias/gravity/velocity streams (BAIMULogic.cpp:88-91,439-455).
+            slot = self.ref_kf_slot
+            st = self.imu.states
+            v_np, bg_np, ba_np = jax.device_get(
+                (st.v[slot], st.bg[slot], st.ba[slot]))
+            R_g = np.asarray(lie.so3_exp(jnp.asarray(
+                np.concatenate([self.imu.g2, [0.0]]), jnp.float32)))
+            g_dir = R_g @ np.array([0.0, 0.0, -1.0])
+            sh = next((s for s in reversed(self.shells)
+                       if s.frame_id == self.ref_kf_id), None)
+            ts = sh.timestamp if sh is not None else 0.0
+            for w_ in self.output_wrappers:
+                if getattr(w_, "wants_imu_state", False):
+                    w_.publish_imu_state(
+                        ts, float(np.exp(self.imu.s_log)),
+                        np.asarray(bg_np), np.asarray(ba_np),
+                        np.asarray(v_np), g_dir)
 
     def _active_visual_event(self):
         """The active window's reduced visual system as a quadratic over

@@ -172,17 +172,24 @@ def sample3(patches: jnp.ndarray, x0: jnp.ndarray, y0: jnp.ndarray,
     wxm = _axis_weights(pu, -1)
     wxp = _axis_weights(pu, +1)
 
-    # Separable contraction: rows first (shared by I and gx), then cols.
-    # f32 precision is mandatory: the TPU default (bf16 operands) injects
-    # ~0.3% noise into sampled intensities, which dominates the small
-    # photometric residuals BA differentiates.
+    # Separable contraction: rows first, then cols — batched into TWO
+    # einsums by stacking the (center / +y / -y) row passes and the five
+    # (i, gx+, gx-, gy+, gy-) column reductions along the pattern axis
+    # (one kernel each instead of six). f32 precision is mandatory: the
+    # TPU default (bf16 operands) injects ~0.3% noise into sampled
+    # intensities, which dominates the small photometric residuals BA
+    # differentiates.
     es = functools.partial(jnp.einsum, precision=lax.Precision.HIGHEST)
-    s0 = es("nyx,nky->nkx", patches, wy0)   # [N, K, 16]
-    i_t = es("nkx,nkx->nk", s0, wx0)
-    gx = 0.5 * (es("nkx,nkx->nk", s0, wxp)
-                - es("nkx,nkx->nk", s0, wxm))
-    sp = es("nyx,nky->nkx", patches, wyp)
-    sm = es("nyx,nky->nkx", patches, wym)
-    gy = 0.5 * (es("nkx,nkx->nk", sp, wx0)
-                - es("nkx,nkx->nk", sm, wx0))
+    K = pu.shape[-1]
+    wy_all = jnp.concatenate([wy0, wyp, wym], axis=1)    # [N, 3K, 16]
+    rows = es("nyx,nky->nkx", patches, wy_all)           # [N, 3K, 16]
+    s0 = rows[:, :K]
+    sp = rows[:, K:2 * K]
+    sm = rows[:, 2 * K:]
+    cols_s = jnp.concatenate([s0, s0, s0, sp, sm], axis=1)   # [N, 5K, 16]
+    cols_w = jnp.concatenate([wx0, wxp, wxm, wx0, wx0], axis=1)
+    v = es("nkx,nkx->nk", cols_s, cols_w)                # [N, 5K]
+    i_t = v[:, :K]
+    gx = 0.5 * (v[:, K:2 * K] - v[:, 2 * K:3 * K])
+    gy = 0.5 * (v[:, 3 * K:4 * K] - v[:, 4 * K:])
     return i_t, gx, gy, ok

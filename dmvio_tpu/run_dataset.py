@@ -125,6 +125,14 @@ def run(argv=None) -> dict:
 
         viewer = HeadlessViewer(su["resultsPrefix"] + "viz")
         fs.output_wrappers.append(viewer)
+    streams = None
+    if imu_calib is not None:
+        # Per-keyframe scale/bias/gravity/velocity streams, reference file
+        # names (scalesdso.txt etc., BAIMULogic.cpp:88-91).
+        from dmvio_tpu.io.output_wrapper import StateStreamWriter
+
+        streams = StateStreamWriter(su["resultsPrefix"])
+        fs.output_wrappers.append(streams)
 
     n = len(reader)
     if su["maxFrames"] > 0:
@@ -162,6 +170,8 @@ def run(argv=None) -> dict:
         trajectory.write_tum(prefix + "resultScaled.txt", metric)
     save_results(prefix + "timings.txt")
     su.print_all(open(prefix + "usedSettings.txt", "w").write)
+    if streams is not None:
+        streams.join()
     if viewer is not None:
         viewer.join()
         if not su["quiet"]:

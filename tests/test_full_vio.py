@@ -29,6 +29,13 @@ def vio_run():
                         levels=4, ba_iters=6)
     fs = full_system.FullSystem(seq["calib"], H, W, cfg,
                                 imu_calib=imu_system.IMUCalib())
+
+    # Subscribe the inertial estimate streams (scalesdso.txt etc.).
+    import tempfile
+    from dmvio_tpu.io.output_wrapper import StateStreamWriter
+    stream_dir = tempfile.mkdtemp(prefix="vio_streams_")
+    fs.output_wrappers.append(StateStreamWriter(stream_dir + "/"))
+    fs._stream_dir = stream_dir
     spf = seq["steps_per_frame"]
     for i in range(N_FRAMES):
         if i == 0:
@@ -89,3 +96,23 @@ def test_vio_metric_trajectory(vio_run):
     # scale refinement (delayed marginalization + PGBA) tightens se3.
     assert ate_sim3 < 0.10 * dist + 0.02, (ate_sim3, dist)
     assert ate_se3 < 0.25 * dist + 0.02, (ate_se3, dist)
+
+
+def test_vio_state_streams(vio_run):
+    """The per-keyframe inertial streams exist under the reference's file
+    names, cover the VIO keyframes, and carry a sane metric scale
+    (BAIMULogic.cpp:88-91 parity)."""
+    import os
+
+    fs, seq = vio_run
+    d = fs._stream_dir
+    scales = np.loadtxt(os.path.join(d, "scalesdso.txt"), ndmin=2)
+    biases = np.loadtxt(os.path.join(d, "babiasdso.txt"), ndmin=2)
+    vels = np.loadtxt(os.path.join(d, "bavel.txt"), ndmin=2)
+    grav = np.loadtxt(os.path.join(d, "bagravdir.txt"), ndmin=2)
+    assert len(scales) >= 3 and len(scales) == len(biases) == len(vels)
+    assert biases.shape[1] == 7 and vels.shape[1] == 4
+    # Gravity directions are unit vectors.
+    assert np.allclose(np.linalg.norm(grav[:, 1:], axis=1), 1.0, atol=1e-5)
+    # The final scale estimate matches the sequence's true DSO scale.
+    assert abs(scales[-1, 1] / seq["s_dso"] - 1.0) < 0.2

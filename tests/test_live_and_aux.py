@@ -171,3 +171,19 @@ def test_run_live_replay_pipeline():
     n = run_with_source(feed, fs, container, skipper, quiet=True)
     assert n >= N // 2          # skipping may drop backlog frames
     assert len(fs.shells) == n
+
+
+def test_async_fetcher_orders_and_overlaps():
+    """utils/fetch.AsyncFetcher: results resolve in submit order with
+    correct values; the disabled mode degrades to synchronous fetches."""
+    import jax.numpy as jnp
+
+    from dmvio_tpu.utils import fetch
+
+    for enabled in (True, False):
+        f = fetch.AsyncFetcher(enabled=enabled)
+        futs = [f.submit(jnp.asarray([float(i), 1.0])) for i in range(12)]
+        outs = [ft.result() for ft in futs]
+        for i, o in enumerate(outs):
+            assert float(o[0]) == float(i)
+        f.shutdown()
