@@ -82,6 +82,15 @@ def main():
     if not fs.initialized:
         raise RuntimeError("benchmark pipeline failed to initialize")
 
+    # Warm the data-dependently-triggered programs too (32-candidate rescue
+    # tracking): whether they fire during the measured region depends on
+    # pipeline timing, and a first-use compile/cache-load there costs
+    # seconds.
+    from dmvio_tpu.ops import pyramid as _pyr
+    _warm_pyr = tuple(_pyr.build_pyramid_jit(frames[n_warm],
+                                             levels=cfg.levels))
+    fs._rescue_track(_warm_pyr)   # fetches internally; result discarded
+
     t0 = time.perf_counter()
     for i in range(n_warm, n_warm + N_MEAS):
         fs.add_frame(frames[i], timestamp=i * 0.05)

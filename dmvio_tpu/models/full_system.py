@@ -68,6 +68,15 @@ class FullSystem:
                  cfg: Optional[window.Config] = None,
                  imu_calib: Optional[imu_system.IMUCalib] = None):
         self.cfg = cfg or window.Config()
+        # Cap pyramid depth so the coarsest level keeps enough pixels to
+        # constrain a pose (the reference's coarsest is 20x15 at VGA,
+        # settings.h pyramid setup): a 8x6 top level can swing the
+        # coarse-to-fine ladder into an arbitrary basin — measured, a
+        # 6-level ladder on 192-row images produced a 71-degree tracking
+        # divergence that a 5-level one does not.
+        while self.cfg.levels > 1 and \
+                (min(h, w) >> (self.cfg.levels - 1)) < 12:
+            self.cfg.levels -= 1
         self.imu = (imu_system.IMUSystem(imu_calib, self.cfg.f_max)
                     if imu_calib is not None else None)
         if self.imu is not None:
@@ -323,6 +332,10 @@ class FullSystem:
                 # rides the second fetch worker). The patch loop inside
                 # must see this entry, so pop only afterwards.
                 self._finalize_kf()
+                if not self._rt_queue or self._rt_queue[0] is not p:
+                    # Finalize detected a failed init and reset the map;
+                    # this frame (and the rest of the queue) died with it.
+                    continue
             self._rt_queue.pop(0)
             self._rt_consume(p, arr)
 
@@ -714,6 +727,21 @@ class FullSystem:
         self.shells[-1] = window.FrameShell(
             frame_id=fid, timestamp=ts, ref_kf_id=fid,
             R_c_ref=np.eye(3), t_c_ref=np.zeros(3), is_kf=True)
+        # Pre-init frames were tracked at the initializer's arbitrary
+        # scale; the handoff renormalized the map (median idepth -> 1,
+        # t *= r.scale) and BA refined the second KF. Rescale their shells
+        # into the final map scale — the dominant early-trajectory ATE
+        # error otherwise (the reference leaves these shells inconsistent;
+        # we can do better for free).
+        t1_ba = self.kf_poses.get(fid, (None, None))[1]
+        f_corr = float(r.scale)
+        raw = float(np.linalg.norm(np.asarray(r.t))) / max(f_corr, 1e-12)
+        if t1_ba is not None and raw > 1e-9:
+            f_corr = float(np.linalg.norm(t1_ba)) / raw
+        for sh in self.shells:
+            if self.first_id < sh.frame_id < fid \
+                    and sh.ref_kf_id == self.first_id:
+                sh.t_c_ref = sh.t_c_ref * f_corr
         self._set_tracker_ref(1, fid)
         self._spawn_immatures(1, pyr)
         self.initialized = True
@@ -752,7 +780,15 @@ class FullSystem:
         snap = (w.frames, w.points, w.pair_mask, w.calib,
                 self.imu.states if self.imu is not None else None)
         with TimeMeasurement("ba_optimize"):
-            self._run_ba(max_iters=cfg.ba_iters)
+            ba_res = self._run_ba(max_iters=cfg.ba_iters)
+        if self.stats_kf <= 4 and \
+                self._init_failed(float(jax.device_get(
+                    self._ba_rmse_dev(ba_res)))):
+            # INITIALIZATION FAILED (reference FullSystem.cpp:1417-1434):
+            # high photometric RMSE on keyframes 2-4 means the two-frame
+            # init handed over a bad map — rebuild from the current frame.
+            self._full_reset(pyr, ts, fid)
+            return
         w.frames = window_ops.set_fej_current(w.frames, slot)
         self._imu_set_fej(slot)
         F = cfg.f_max
@@ -895,6 +931,21 @@ class FullSystem:
         w.points, w.pair_mask = window_ops.post_ba_update(
             w.points, w.pair_mask, result.pair_outlier)
         return result
+
+    def _ba_rmse_dev(self, result):
+        """Photometric RMSE per pattern pixel of a BA result (device
+        scalar) — the reference's init-health metric (FullSystem::optimize
+        returns sqrt(E / (patternNum * resInA)), FullSystemOptimize.cpp)."""
+        w = self.win
+        pair_ok = w.pair_mask & w.points.mask[None, :] \
+            & ~result.pair_outlier
+        n = jnp.sum(pair_ok.astype(jnp.float32))
+        return jnp.sqrt(result.energy / jnp.maximum(8.0 * n, 1.0))
+
+    def _init_failed(self, rmse: float) -> bool:
+        """RMSE thresholds on keyframes 2-4 (FullSystem.cpp:1417-1434)."""
+        th = {2: 20.0, 3: 13.0, 4: 9.0}.get(self.stats_kf)
+        return th is not None and (not np.isfinite(rmse) or rmse > th)
 
     def _record_kf_poses(self, pack_np: Optional[np.ndarray] = None):
         """Record window poses into kf_poses from ONE packed fetch."""
@@ -1153,7 +1204,11 @@ class FullSystem:
             self._activate_points(slot)
         snap = (w.frames, w.points, w.pair_mask, w.calib, None)
         with TimeMeasurement("ba_optimize"):
-            self._run_ba(max_iters=cfg.ba_iters)
+            ba_res = self._run_ba(max_iters=cfg.ba_iters)
+        # Init-health metric rides the deferred fetch (checked at finalize
+        # — one frame late, like the reference's main-loop initFailed flag).
+        rmse_d = (self._ba_rmse_dev(ba_res) if self.stats_kf <= 4
+                  else jnp.asarray(0.0, jnp.float32))
         w.frames = window_ops.set_fej_current(w.frames, slot)
         out = self._dispatch_marg_fused(slot)
         vlist_d, HM_d, bM_d, pts_d, pm_d, n_pre_d, n_post_d = out
@@ -1168,9 +1223,10 @@ class FullSystem:
         self.ref_kf_slot = slot
         self.ref_kf_id = fid
         fetch_refs = (vlist_d, HM_d, bM_d, n_pre_d, n_post_d,
-                      window_ops.kf_pose_pack(w.frames))
+                      window_ops.kf_pose_pack(w.frames), rmse_d)
         self._kf_finalize = dict(
             slot=slot, fid=fid, snap=snap, prev_ref=prev_ref,
+            kf_count=self.stats_kf,
             # Copy starts now, overlapping the next frame's tracking (the
             # second fetch worker; concurrent copies share one round trip).
             future=self._fetcher.submit(fetch_refs),
@@ -1184,11 +1240,25 @@ class FullSystem:
         w = self.win
         slot, fid = kfp["slot"], kfp["fid"]
         if prefetched is not None:
-            vlist, HM_np, bM_np, n_pre, n_post, pose_pack_np = prefetched
+            (vlist, HM_np, bM_np, n_pre, n_post, pose_pack_np,
+             rmse_np) = prefetched
         else:
             with TimeMeasurement("kf_finalize_fetch"):
                 (vlist, HM_np, bM_np, n_pre, n_post,
-                 pose_pack_np) = kfp["future"].result()
+                 pose_pack_np, rmse_np) = kfp["future"].result()
+        if kfp["kf_count"] <= 4:
+            th = {2: 20.0, 3: 13.0, 4: 9.0}.get(int(kfp["kf_count"]))
+            if th is not None and (not np.isfinite(float(rmse_np))
+                                   or float(rmse_np) > th):
+                # INITIALIZATION FAILED (FullSystem.cpp:1417-1434), one
+                # frame late: rebuild from the newest in-flight frame (or
+                # this keyframe's own pyramid when the queue is empty).
+                src = self._rt_queue[-1] if self._rt_queue else None
+                pyr = src["pyr"] if src else self.win.pyramids[kfp["slot"]]
+                ts = src["ts"] if src else 0.0
+                fid2 = src["fid"] if src else kfp["fid"]
+                self._full_reset(pyr, ts, fid2)
+                return
         if self._n_active > 60 and \
                 float(n_pre) < max(40.0, 0.15 * self._n_active):
             # Rare divergence revert, one frame late: restore the

@@ -276,3 +276,22 @@ def init_track(first_pyr, new_pyr, calib0: Calib, u0, v0, pmask,
 
 
 init_track_jit = jax.jit(init_track, static_argnames="levels")
+
+# Multi-hypothesis init: the joint pose+idepth GN is non-convex and the
+# translation subspace regularly converges to a wrong basin on
+# rotation-first / slow-start motion (measured: 50-degree rotation errors
+# on a planar scene, 60-degree-off translation directions on a rich one,
+# each photometrically plausible). The reference escapes via per-frame
+# resets and operator-provided "move with translation" starts; the
+# TPU-native answer is to run SEVERAL seeded hypotheses in one vmapped
+# program — per-candidate cost is dominated by N-bound sampling, so the
+# batch is nearly free — and let the energy pick the basin.
+def _init_track_multi(first_pyr, new_pyr, calib0, u0, v0, pmask,
+                      R_c, t_c, rho_c, b_c, idepth_c, levels: int):
+    fn = lambda R0, t0, r0, b0, d0: init_track(
+        first_pyr, new_pyr, calib0, u0, v0, pmask, R0, t0, r0, b0, d0,
+        levels=levels)
+    return jax.vmap(fn)(R_c, t_c, rho_c, b_c, idepth_c)
+
+
+init_track_multi_jit = jax.jit(_init_track_multi, static_argnames="levels")

@@ -43,8 +43,67 @@ def default_scene(depth: float = 2.0) -> PlaneScene:
     return PlaneScene(n=n, d=d, X0=X0, e1=e1, e2=e2)
 
 
+class MultiPlaneScene(NamedTuple):
+    """Several textured planes; each ray sees the nearest one.
+
+    A single infinite plane makes monocular two-view initialization
+    GENUINELY ambiguous (the planar homography has a second valid
+    (R, t, depth) decomposition — the initializer can photometrically
+    converge to the wrong one, measured 50-degree rotation errors on
+    rotation-rich starts). Real indoor scenes are not planes; this scene
+    restores unambiguous geometry while keeping exact analytic ground
+    truth. Fields are stacked per plane [P, ...]; `phase` decorrelates the
+    per-plane textures.
+    """
+
+    n: jnp.ndarray      # [P, 3] unit normals
+    d: jnp.ndarray      # [P]
+    X0: jnp.ndarray     # [P, 3]
+    e1: jnp.ndarray     # [P, 3]
+    e2: jnp.ndarray     # [P, 3]
+    phase: jnp.ndarray  # [P] texture phase offsets
+
+
+def room_scene(depth: float = 2.0) -> MultiPlaneScene:
+    """Back wall + floor + side wall around the origin (camera looks +z,
+    +y is down): rich, non-planar geometry for init/odometry tests."""
+    def unit(v):
+        v = jnp.asarray(v, jnp.float32)
+        return v / jnp.linalg.norm(v)
+
+    back_n = unit([0.12, -0.08, 1.0])
+    back_X0 = jnp.asarray([0.0, 0.0, depth + 0.8], jnp.float32)
+    floor_n = unit([0.0, 1.0, 0.05])
+    floor_X0 = jnp.asarray([0.0, 0.9, 0.0], jnp.float32)
+    side_n = unit([1.0, 0.0, 0.08])
+    side_X0 = jnp.asarray([1.1, 0.0, 0.0], jnp.float32)
+
+    def frame(n):
+        e1 = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+        e1 = e1 - (e1 @ n) * n
+        nrm = jnp.linalg.norm(e1)
+        e1 = jnp.where(nrm > 1e-3, e1 / jnp.maximum(nrm, 1e-9),
+                       jnp.asarray([0.0, 0.0, 1.0], jnp.float32))
+        e2 = jnp.cross(n, e1)
+        return e1, e2
+
+    ns = jnp.stack([back_n, floor_n, side_n])
+    X0s = jnp.stack([back_X0, floor_X0, side_X0])
+    ds = jnp.einsum("pi,pi->p", ns, X0s)
+    e1s, e2s = zip(*(frame(ns[i]) for i in range(3)))
+    return MultiPlaneScene(
+        n=ns, d=ds, X0=X0s, e1=jnp.stack(e1s), e2=jnp.stack(e2s),
+        phase=jnp.asarray([0.0, 2.1, 4.4], jnp.float32))
+
+
 def texture(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Smooth, high-rank analytic texture in plane coordinates (meters)."""
+    """High-rank analytic texture in plane coordinates (meters).
+
+    Includes moderately high-frequency components (45-60 rad/m ~ 0.04-0.1
+    cycles/pixel at the test operating points): a too-smooth texture lets
+    geometrically WRONG (pose, depth) configurations fit photometrically
+    (the two-view init energy barely separates the true solution), which
+    synthetic-only evaluation then cannot catch."""
     return (
         120.0
         + 40.0 * jnp.sin(7.3 * a) * jnp.cos(5.1 * b)
@@ -52,18 +111,36 @@ def texture(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         + 22.0 * jnp.cos(13.3 * b + 2.3)
         + 15.0 * jnp.sin(3.1 * (a + b))
         + 10.0 * jnp.cos(29.0 * a - 23.0 * b)
+        + 7.0 * jnp.sin(47.0 * a + 0.7) * jnp.cos(31.0 * b)
+        + 6.0 * jnp.cos(59.0 * b - 1.9)
+        + 5.0 * jnp.sin(53.0 * (a - b) + 2.6)
     )
 
 
-def ray_depth(scene: PlaneScene, R_cw, t_cw, calib: Calib, u, v):
-    """Depth (z in cam frame) of the plane along pixel rays. u, v: [...]"""
+def _ray_hits(scene, R_cw, t_cw, calib: Calib, u, v):
+    """Per-plane ray depths [..., P] + winning plane index [...]."""
     xr = (u - calib.cx) / calib.fx
     yr = (v - calib.cy) / calib.fy
     ray_c = jnp.stack([xr, yr, jnp.ones_like(xr)], axis=-1)
     R_wc, t_wc = lie.se3_inv(R_cw, t_cw)
     ray_w = jnp.einsum("ij,...j->...i", R_wc, ray_c)
-    denom = jnp.einsum("...i,i->...", ray_w, scene.n)
-    lam = (scene.d - scene.n @ t_wc) / denom
+    n = scene.n if scene.n.ndim == 2 else scene.n[None]
+    d = jnp.atleast_1d(scene.d)
+    denom = jnp.einsum("...i,pi->...p", ray_w, n)
+    lam = (d - n @ t_wc) / jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
+    # Only intersections in FRONT of the camera count; nearest one wins.
+    lam_v = jnp.where(lam > 0.05, lam, jnp.inf)
+    k = jnp.argmin(lam_v, axis=-1)
+    lam_min = jnp.min(lam_v, axis=-1)
+    lam_min = jnp.where(jnp.isfinite(lam_min), lam_min, 1e6)
+    return lam_min, k, ray_w, t_wc
+
+
+def ray_depth(scene, R_cw, t_cw, calib: Calib, u, v):
+    """Depth (z in cam frame) of the scene along pixel rays. u, v: [...]
+
+    Works for PlaneScene (single) and MultiPlaneScene (nearest plane)."""
+    lam, _, _, _ = _ray_hits(scene, R_cw, t_cw, calib, u, v)
     return lam  # depth along the ray; idepth = 1 / lam
 
 
@@ -77,15 +154,17 @@ def render(scene: PlaneScene, R_cw, t_cw, calib: Calib, h: int, w: int,
     v, u = jnp.mgrid[0:h, 0:w]
     u = u.astype(jnp.float32)
     v = v.astype(jnp.float32)
-    lam = ray_depth(scene, R_cw, t_cw, calib, u, v)
-    xr = (u - calib.cx) / calib.fx
-    yr = (v - calib.cy) / calib.fy
-    ray_c = jnp.stack([xr, yr, jnp.ones_like(xr)], axis=-1)
-    R_wc, t_wc = lie.se3_inv(R_cw, t_cw)
-    X = jnp.einsum("ij,...j->...i", R_wc, ray_c * lam[..., None]) + t_wc
-    rel = X - scene.X0
-    a = jnp.einsum("...i,i->...", rel, scene.e1)
-    b = jnp.einsum("...i,i->...", rel, scene.e2)
+    lam, k, ray_w, t_wc = _ray_hits(scene, R_cw, t_cw, calib, u, v)
+    X = ray_w * lam[..., None] + t_wc
+    multi = scene.n.ndim == 2
+    X0 = scene.X0 if multi else scene.X0[None]
+    e1 = scene.e1 if multi else scene.e1[None]
+    e2 = scene.e2 if multi else scene.e2[None]
+    phase = (scene.phase if multi
+             else jnp.zeros((1,), jnp.float32))
+    rel = X - X0[k]
+    a = jnp.einsum("...i,...i->...", rel, e1[k]) + phase[k]
+    b = jnp.einsum("...i,...i->...", rel, e2[k]) + 0.7 * phase[k]
     return jnp.exp(gain) * texture(a, b) + offset
 
 
@@ -108,6 +187,7 @@ def generate_vio_sequence(
     imu_noise: bool = True,
     bias=(0.0,) * 6,
     seed: int = 0,
+    v0=(0.22, -0.06, 0.1),
 ):
     """Full synthetic VIO sequence: rendered images + IMU + ground truth.
 
@@ -123,7 +203,9 @@ def generate_vio_sequence(
     if calib is None:
         calib = Calib.create(0.6 * w, 0.6 * w, w / 2 - 0.5, h / 2 - 0.5)
     if scene is None:
-        scene = default_scene(depth=2.0)
+        # Non-planar geometry: a single plane leaves the two-view init
+        # scale/rotation ambiguous (see MultiPlaneScene).
+        scene = room_scene(depth=2.0)
     rng = np.random.default_rng(seed)
     dt = 1.0 / imu_hz
     spf = max(int(round(frame_dt * imu_hz)), 1)
@@ -144,7 +226,11 @@ def generate_vio_sequence(
 
     R = np.eye(3)
     p = np.zeros(3)
-    v = np.array([0.1, -0.05, 0.03])
+    # Initial velocity: monocular init NEEDS baseline — from rest, the
+    # first dozen frames have sub-pixel parallax and the two-view
+    # (pose, depth) problem is near-degenerate (real benchmark sequences
+    # likewise begin mid-motion).
+    v = np.asarray(v0, np.float64).copy()
     accs, gyrs, imu_ts = [], [], []
     states = [(R.copy(), p.copy(), v.copy())]
     for k in range(n_steps):

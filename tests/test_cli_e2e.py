@@ -1,0 +1,62 @@
+"""Golden end-to-end test through the dataset CLI.
+
+Exercises the full user-facing path the reference's dmvio_dataset main
+provides (main_dmvio_dataset.cpp): folder dataset -> undistortion ->
+odometry -> result.txt/resultKFs.txt/timings.txt/usedSettings.txt, and
+scores the trajectory against the generator's ground truth. Everything
+in-process on CPU (tests/conftest.py forces the backend)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from dmvio_tpu import run_dataset
+from dmvio_tpu.tools import make_synthetic
+from dmvio_tpu.utils import trajectory
+
+N_FRAMES = 36
+
+
+@pytest.fixture(scope="module")
+def cli_run():
+    data = tempfile.mkdtemp(prefix="cli_e2e_data_")
+    out = tempfile.mkdtemp(prefix="cli_e2e_out_") + "/"
+    make_synthetic.main([f"out={data}", f"n={N_FRAMES}", "w=256", "h=192",
+                         "accel=0.4", "rot=0.2"])
+    run_dataset.run([
+        f"files={data}/images", f"calib={data}/camera.txt",
+        f"tsFile={data}/times.txt", f"resultsPrefix={out}",
+        "quiet=1", "nativeLoader=0", "p_max=1024", "i_max=1024",
+    ])
+    return data, out
+
+
+def test_cli_outputs_exist(cli_run):
+    _, out = cli_run
+    for f in ("result.txt", "resultKFs.txt", "timings.txt",
+              "usedSettings.txt"):
+        assert os.path.getsize(out + f) > 0, f
+
+
+def test_cli_trajectory_accuracy(cli_run):
+    data, out = cli_run
+    est = trajectory.read_tum(out + "result.txt")
+    gt = trajectory.read_tum(os.path.join(data, "gt.csv"))
+    assert len(est) == N_FRAMES
+    n = min(len(est), len(gt))
+    ate = trajectory.ate_rmse(est[:n], gt[:n])
+    # Path length for a relative bound.
+    Q = np.stack([g[2] for g in gt[:n]])
+    dist = float(np.sum(np.linalg.norm(np.diff(Q, axis=0), axis=1)))
+    assert ate < 0.08 * dist + 0.02, (ate, dist)
+
+
+def test_cli_kf_trajectory_subset(cli_run):
+    _, out = cli_run
+    est = trajectory.read_tum(out + "result.txt")
+    kfs = trajectory.read_tum(out + "resultKFs.txt")
+    ts_all = {round(e[0], 6) for e in est}
+    assert 3 <= len(kfs) < len(est)
+    assert all(round(k[0], 6) in ts_all for k in kfs)
