@@ -36,7 +36,7 @@ KF_IMU_CAP = 1024      # max samples between consecutive keyframes
 # resolved against keyframes frozen at their marginalization time, so old
 # entries live in a drifted window gauge and poison the fit (the reference
 # re-optimizes old poses in PGBA for exactly this reason).
-INIT_WINDOW = 28
+INIT_WINDOW = 100   # reference maxNumPoses (IMUInitSettings.h:38)
 
 INACTIVE, COARSE_INIT, ACTIVE = 0, 1, 2
 
@@ -300,8 +300,11 @@ class IMUSystem:
         self._last_init_decent = mean_e < 50.0
         # Gate: converged (E/dof at the noise floor), scale marginal tight
         # (threshold scaled by init_coarseScaleUncertaintyThresh).
+        # Reference gate: scaleVariance < coarseScaleUncertaintyThresh
+        # (IMUInitializerTransitions.cpp:61, default 1.0) — the variance
+        # itself, not a scaled standard deviation.
         ok = (bool(res.ok)
-              and float(res.s_var) < 0.15 * self.calib.coarse_scale_th
+              and float(res.s_var) < self.calib.coarse_scale_th
               and mean_e < 5.0)
         return ok
 

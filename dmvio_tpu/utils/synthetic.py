@@ -99,11 +99,25 @@ def room_scene(depth: float = 2.0) -> MultiPlaneScene:
 def texture(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """High-rank analytic texture in plane coordinates (meters).
 
-    Includes moderately high-frequency components (45-60 rad/m ~ 0.04-0.1
+    Includes moderately high-frequency components (40-65 rad/m ~ 0.04-0.1
     cycles/pixel at the test operating points): a too-smooth texture lets
     geometrically WRONG (pose, depth) configurations fit photometrically
     (the two-view init energy barely separates the true solution), which
-    synthetic-only evaluation then cannot catch."""
+    synthetic-only evaluation then cannot catch. The high-frequency part
+    must be BROADBAND — many incommensurate frequencies/orientations at
+    small amplitude each — or it acts as a near-monochromatic grating
+    whose ~1-period-off epipolar matches alias (measured: new points
+    activating at 3-4x wrong depth under fast motion, collapsing the
+    map)."""
+    hf = (
+        4.0 * jnp.sin(47.0 * a + 0.7) * jnp.cos(31.0 * b)
+        + 3.5 * jnp.cos(58.6 * b + 41.3 * a - 1.9)
+        + 3.5 * jnp.sin(52.7 * a - 36.1 * b + 2.6)
+        + 3.0 * jnp.cos(63.4 * a + 17.2 * b + 0.4)
+        + 3.0 * jnp.sin(23.9 * a + 55.8 * b + 1.6)
+        + 2.5 * jnp.cos(44.1 * a - 60.7 * b + 3.0)
+        + 2.5 * jnp.sin(39.2 * (a + 0.6 * b) + 0.9) * jnp.cos(9.7 * b)
+    )
     return (
         120.0
         + 40.0 * jnp.sin(7.3 * a) * jnp.cos(5.1 * b)
@@ -111,9 +125,7 @@ def texture(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         + 22.0 * jnp.cos(13.3 * b + 2.3)
         + 15.0 * jnp.sin(3.1 * (a + b))
         + 10.0 * jnp.cos(29.0 * a - 23.0 * b)
-        + 7.0 * jnp.sin(47.0 * a + 0.7) * jnp.cos(31.0 * b)
-        + 6.0 * jnp.cos(59.0 * b - 1.9)
-        + 5.0 * jnp.sin(53.0 * (a - b) + 2.6)
+        + hf
     )
 
 
@@ -233,9 +245,17 @@ def generate_vio_sequence(
     v = np.asarray(v0, np.float64).copy()
     accs, gyrs, imu_ts = [], [], []
     states = [(R.copy(), p.copy(), v.copy())]
+    # Weak harmonic confinement: the open-loop double-integrated
+    # accelerations random-walk out of any finite scene on long sequences
+    # (measured: the camera passed THROUGH a room wall at frame ~60 of a
+    # 240-frame run, min scene depth 5 cm). The spring bounds excursions
+    # to ~accel_scale/k^2 while the IMU stays exactly consistent (the
+    # recorded specific force is the TOTAL applied acceleration).
+    K_SPRING = 0.9
+    C_DAMP = 0.5
     for k in range(n_steps):
         t = k * dt
-        aw = a_world(t)
+        aw = a_world(t) - K_SPRING ** 2 * p - C_DAMP * v
         wb = w_body(t)
         na = rng.normal(0, 2.0e-3 / np.sqrt(dt), 3) if imu_noise else 0.0
         nw = rng.normal(0, 1.6968e-4 / np.sqrt(dt), 3) if imu_noise else 0.0
