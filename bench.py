@@ -1,34 +1,119 @@
 """End-to-end benchmark at the reference operating point.
 
-Runs the full visual-odometry pipeline (tracking + immature tracing + KF
-bundle adjustment + marginalization) on a synthetic 512x512 sequence — the
-reference's default TUM-VI operating point (512x512, 6 pyramid levels, 7-KF
-window, 2048 active points, <=6 LM iterations; settings.cpp:93-103) — and
-reports frames/s, the reference's own primary speed metric
-(main_dmvio_dataset.cpp:305-321).
+Runs the full pipeline on synthetic 512x512 sequences — the reference's
+default TUM-VI operating point (512x512, 6 pyramid levels, 7-KF window,
+2048 active points, <=6 LM iterations; settings.cpp:93-103) — and reports
+frames/s, the reference's own primary speed metric
+(main_dmvio_dataset.cpp:305-321). Two measurements: visual-only (VO,
+pipelined realtime mode) as the headline metric, and full visual-inertial
+(VIO) in the `extra` field.
 
 vs_baseline compares against 20 frames/s: TUM-VI camera rate, i.e. the
 throughput the reference's realtime preset must sustain (>1 = faster than
 realtime on one chip).
 
-Prints ONE JSON line.
+Prints ONE JSON line — ALWAYS, even on failure. The TPU link is known to
+stall for minutes or drop entirely (CLAUDE.md), so the script:
+  * probes the backend in a KILLABLE subprocess first (a hung in-process
+    first-contact cannot be interrupted), with bounded retries;
+  * runs the measurement under a watchdog that emits a structured-error
+    JSON instead of hanging past the driver's patience;
+  * catches everything and reports {"error": ...} with value 0.
 """
 
 import json
 import os
+import subprocess
+import sys
+import threading
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+METRIC = "vo_frames_per_second_512x512"
+BASELINE_FPS = 20.0   # TUM-VI camera rate = realtime requirement
 
 
-def main():
+def emit(value, vs_baseline, error=None, extra=None):
+    rec = {"metric": METRIC, "value": round(float(value), 3),
+           "unit": "frames/s", "vs_baseline": round(float(vs_baseline), 3)}
+    if error:
+        rec["error"] = error
+    if extra:
+        rec["extra"] = extra
+    print(json.dumps(rec))
+    sys.stdout.flush()
+
+
+def probe_backend(timeout_s: float = None, attempts: int = 3) -> str:
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT", "75"))
+    """Touch the backend from a subprocess (killable). Returns "" when the
+    device answers, else a short error string."""
+    code = ("import jax, jax.numpy as jnp;"
+            "x=jnp.ones((128,128));"
+            "print((x@x).block_until_ready().dtype)")
+    last = "unknown"
+    for k in range(attempts):
+        t0 = time.time()
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=timeout_s)
+            if r.returncode == 0:
+                return ""
+            last = (r.stderr.decode(errors="replace").strip()
+                    .splitlines() or ["rc=%d" % r.returncode])[-1][:200]
+        except subprocess.TimeoutExpired:
+            last = f"probe timeout after {timeout_s:.0f}s"
+        # Short backoff between attempts; link stalls are often transient.
+        if k + 1 < attempts:
+            time.sleep(min(20.0, max(0.0, 30.0 - (time.time() - t0))))
+    return f"tpu backend unavailable ({last})"
+
+
+class Watchdog:
+    """Emit a structured-error line and hard-exit if the run wedges."""
+
+    def __init__(self, budget_s: float):
+        self.deadline = time.time() + budget_s
+        self.partial = None   # (value, vs_baseline, extra) if VO finished
+        t = threading.Thread(target=self._run, daemon=True)
+        t.start()
+
+    def _run(self):
+        while True:
+            dt = self.deadline - time.time()
+            if dt <= 0:
+                if self.partial is not None:
+                    v, vs, ex = self.partial
+                    ex = dict(ex or {})
+                    ex["note"] = "vio stage timed out"
+                    emit(v, vs, extra=ex)
+                else:
+                    emit(0.0, 0.0, error="benchmark watchdog timeout "
+                         "(link stall mid-run)")
+                os._exit(0)
+            time.sleep(min(dt, 5.0))
+
+
+def _warm_pose_fn(lie, np, jnp):
+    def pose(i):
+        center = np.array([0.035 * i, 0.015 * np.sin(i * 0.4), 0.004 * i])
+        w_vec = np.array([0.002 * i, -0.004 * i, 0.001 * i])
+        R_wc = np.asarray(lie.so3_exp(jnp.asarray(w_vec)))
+        R_cw = R_wc.T
+        return (jnp.asarray(R_cw, jnp.float32),
+                jnp.asarray(-R_cw @ center, jnp.float32))
+    return pose
+
+
+def bench_vo():
+    """Visual-only realtime pipeline fps (the headline number)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from dmvio_tpu.models import full_system, window
-    from dmvio_tpu.utils import jax_cache, lie, synthetic
+    from dmvio_tpu.utils import lie, synthetic
     from dmvio_tpu.utils.camera import Calib
-
-    jax_cache.enable()   # compiles persist across runs (like shipped C++)
 
     H = W = 512
     N_WARM = 12     # minimum warmup; extended until the first KFs exist so
@@ -40,14 +125,7 @@ def main():
 
     calib = Calib.create(380.0, 380.0, W / 2 - 0.5, H / 2 - 0.5)
     scene = synthetic.default_scene(depth=2.0)
-
-    def pose(i):
-        center = np.array([0.035 * i, 0.015 * np.sin(i * 0.4), 0.004 * i])
-        w_vec = np.array([0.002 * i, -0.004 * i, 0.001 * i])
-        R_wc = np.asarray(lie.so3_exp(jnp.asarray(w_vec)))
-        R_cw = R_wc.T
-        return (jnp.asarray(R_cw, jnp.float32),
-                jnp.asarray(-R_cw @ center, jnp.float32))
+    pose = _warm_pose_fn(lie, np, jnp)
 
     # Realtime (pipelined) mode — the operating point the reference's
     # 20 fps requirement refers to (linearizeOperation=false).
@@ -71,11 +149,6 @@ def main():
     for i in range(N_WARM_MAX):
         fs.add_frame(frames[i], timestamp=i * 0.05)
         n_warm += 1
-        # Steady state starts once the window has FILLED (max_frames
-        # keyframes) and marginalization has run a couple of times: the
-        # marg-path programs compile / load from the persistent cache on
-        # first use, a one-time 2-3s hit that must not land in the timed
-        # region.
         if n_warm >= N_WARM and fs.initialized \
                 and fs.stats_kf >= cfg.max_frames + 2:
             break
@@ -96,10 +169,86 @@ def main():
         fs.add_frame(frames[i], timestamp=i * 0.05)
     fs.finish()   # flush the realtime pipeline inside the timed region
     dt = time.perf_counter() - t0
+    return N_MEAS / dt
 
-    fps = N_MEAS / dt
-    baseline_fps = 20.0  # TUM-VI camera rate = realtime requirement
-    import sys
+
+def bench_vio():
+    """Full visual-inertial fps at the same 512x512 operating point."""
+    import jax
+    import numpy as np
+
+    from dmvio_tpu.models import full_system, imu_system, window
+    from dmvio_tpu.utils import synthetic
+
+    H = W = 512
+    N_WARM_MAX = 72
+    N_MEAS = 60
+    seq = synthetic.generate_vio_sequence(
+        n_frames=N_WARM_MAX + N_MEAS, frame_dt=0.05, h=H, w=W,
+        s_dso=1.3, g2=(0.05, -0.03), accel_scale=0.5, rot_scale=0.3,
+        seed=2, scene=synthetic.default_scene(depth=2.0))
+    jax.block_until_ready(seq["images"][-1])
+    cfg = window.Config(f_max=8, p_max=2048, i_max=2048, max_frames=7,
+                        levels=6, ba_iters=6,
+                        realtime=bool(int(os.environ.get(
+                            "BENCH_VIO_RT", "1"))))
+    fs = full_system.FullSystem(seq["calib"], H, W, cfg,
+                                imu_calib=imu_system.IMUCalib())
+    spf = seq["steps_per_frame"]
+
+    def chunk(i):
+        if i == 0:
+            return None
+        s0, s1 = (i - 1) * spf, i * spf
+        return (seq["acc"][s0:s1], seq["gyr"][s0:s1],
+                np.full(s1 - s0, seq["imu_dt"], np.float32))
+
+    n_warm = 0
+    for i in range(N_WARM_MAX):
+        fs.add_frame(seq["images"][i], float(seq["timestamps"][i]),
+                     imu_data=chunk(i))
+        n_warm += 1
+        if fs.initialized and fs.stats_kf >= cfg.max_frames + 2 \
+                and fs.imu.phase == imu_system.ACTIVE and n_warm >= 24:
+            break
+    t0 = time.perf_counter()
+    for i in range(n_warm, n_warm + N_MEAS):
+        fs.add_frame(seq["images"][i], float(seq["timestamps"][i]),
+                     imu_data=chunk(i))
+    fs.finish()
+    dt = time.perf_counter() - t0
+    return N_MEAS / dt, int(fs.imu.phase)
+
+
+def main():
+    budget = float(os.environ.get("BENCH_TIMEOUT", "1700"))
+    wd = Watchdog(budget)
+
+    err = probe_backend()
+    if err:
+        emit(0.0, 0.0, error=err)
+        return
+
+    from dmvio_tpu.utils import jax_cache
+    jax_cache.enable()   # compiles persist across runs (like shipped C++)
+
+    try:
+        fps = bench_vo()
+    except Exception as e:  # noqa: BLE001 — must still print the line
+        emit(0.0, 0.0, error=f"vo bench failed: {type(e).__name__}: "
+             f"{str(e)[:200]}")
+        return
+
+    extra = {}
+    wd.partial = (fps, fps / BASELINE_FPS, extra)
+    if os.environ.get("BENCH_VIO", "1") != "0":
+        try:
+            vio_fps, phase = bench_vio()
+            extra["vio_frames_per_second_512x512"] = round(vio_fps, 3)
+            extra["vio_imu_phase"] = phase
+        except Exception as e:  # noqa: BLE001
+            extra["vio_error"] = (f"{type(e).__name__}: {str(e)[:200]}")
+
     if os.environ.get("BENCH_VERBOSE"):
         from dmvio_tpu.utils.timing import get_stats
         for k, v in sorted(get_stats().items()):
@@ -108,12 +257,7 @@ def main():
             print(f"#   {k}: n={v['n']} med={v['median']*1e3:.1f}ms "
                   f"mean={v['mean']*1e3:.1f}ms top=[{top}]ms",
                   file=sys.stderr)
-    print(json.dumps({
-        "metric": "vo_frames_per_second_512x512",
-        "value": round(fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / baseline_fps, 3),
-    }))
+    emit(fps, fps / BASELINE_FPS, extra=extra or None)
 
 
 if __name__ == "__main__":

@@ -328,8 +328,34 @@ class DatasetReader:
             samples.append((ts[j] - prev_t, self.imu[j, 1:4], self.imu[j, 4:7]))
             prev_t = ts[j]
         if prev_t < t1 and len(idx) > 0:
-            j = min(idx[-1] + 1, len(ts) - 1)
-            samples.append((t1 - prev_t, self.imu[j, 1:4], self.imu[j, 4:7]))
+            # End-boundary sample: interpolate between the last in-interval
+            # measurement and the next one (DatasetReader.h:250 interpolates
+            # the boundary rather than copying the next sample).
+            j_prev = idx[-1]
+            j = min(j_prev + 1, len(ts) - 1)
+            span = ts[j] - ts[j_prev]
+            if j > j_prev and span > 1e-9:
+                a = np.clip((t1 - ts[j_prev]) / span, 0.0, 1.0)
+            else:
+                a = 1.0
+            gyr_b = (1 - a) * self.imu[j_prev, 1:4] + a * self.imu[j, 1:4]
+            acc_b = (1 - a) * self.imu[j_prev, 4:7] + a * self.imu[j, 4:7]
+            samples.append((t1 - prev_t, gyr_b, acc_b))
+        if not samples:
+            # No sample fell inside (t0, t1], but measurements may straddle
+            # the interval (low-rate IMU / dropped samples): synthesize one
+            # sample spanning the frame gap from the nearest measurements
+            # so the interval is not treated as inertial-data-free.
+            before = np.where(ts <= t0)[0]
+            after = np.where(ts > t1)[0]
+            if len(before) and len(after):
+                j0, j1 = before[-1], after[0]
+                span = ts[j1] - ts[j0]
+                a = np.clip((0.5 * (t0 + t1) - ts[j0]) / max(span, 1e-9),
+                            0.0, 1.0)
+                gyr_m = (1 - a) * self.imu[j0, 1:4] + a * self.imu[j1, 1:4]
+                acc_m = (1 - a) * self.imu[j0, 4:7] + a * self.imu[j1, 4:7]
+                samples.append((t1 - t0, gyr_m, acc_m))
         if not samples:
             return (np.zeros((0, 3), np.float32),) * 2 + (np.zeros(0, np.float32),)
         dts = np.array([s[0] for s in samples], np.float32)

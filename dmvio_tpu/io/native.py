@@ -29,12 +29,16 @@ def _load():
         return _LIB
     _TRIED = True
     so = os.path.join(_root(), "libdmvio_native.so")
-    if not os.path.exists(so):
+    src = os.path.join(_root(), "dataloader.cpp")
+    stale = (os.path.exists(so) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(so))
+    if not os.path.exists(so) or stale:
         try:
-            subprocess.run(["make", "-C", _root()], check=True,
+            subprocess.run(["make", "-C", _root(), "-B"], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(so):
+                return None
     try:
         lib = ctypes.CDLL(so)
     except OSError:

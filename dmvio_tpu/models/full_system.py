@@ -271,7 +271,8 @@ class FullSystem:
             m_h[1:] = True
             R_c, t_c, mask_c = (jnp.asarray(R_h), jnp.asarray(t_h),
                                 jnp.asarray(m_h))
-        gate = 1.5 * self.track_energy_ref + 0.5
+        gate = (self.cfg.track_gate_scale * self.track_energy_ref
+                + self.cfg.track_gate_offset)
         res, packed = coarse_tracker.track_multi_jit(
             self.tracker_ref, pyr, self.calib,
             R_c, t_c, mask_c,
@@ -376,7 +377,7 @@ class FullSystem:
             self.is_lost = False
             self.track_energy_ref = min(
                 0.7 * self.track_energy_ref
-                + 0.3 * float(pk.level_energy[0]), 100.0)
+                + 0.3 * float(pk.level_energy[0]), self.cfg.track_gate_cap)
             # Motion model relative to the CURRENT reference (the frame may
             # have been tracked against an older one).
             R_cur, t_cur = self.ref_pose_np
@@ -473,7 +474,8 @@ class FullSystem:
         (one extra dispatch + sync; only runs when the primary candidates
         all failed). Returns (res, pk)."""
         R_c, t_c, mask_c = self._rescue_candidates()
-        gate = 1.5 * self.track_energy_ref + 0.5
+        gate = (self.cfg.track_gate_scale * self.track_energy_ref
+                + self.cfg.track_gate_offset)
         res, packed = coarse_tracker.track_multi_jit(
             self.tracker_ref, pyr, self.calib,
             jnp.asarray(R_c), jnp.asarray(t_c), jnp.asarray(mask_c),
@@ -495,7 +497,8 @@ class FullSystem:
         when the keyframe finalizes — before this frame is consumed."""
         R_c, t_c, mask_c = window_ops.rel_candidates(
             p["R_cw"], p["t_cw"], self.win.frames, self.ref_kf_slot)
-        gate = 1.5 * self.track_energy_ref + 0.5
+        gate = (self.cfg.track_gate_scale * self.track_energy_ref
+                + self.cfg.track_gate_offset)
         res, packed = coarse_tracker.track_multi_jit(
             self.tracker_ref, p["pyr"], self.calib,
             R_c, t_c, mask_c,
@@ -627,7 +630,8 @@ class FullSystem:
                                               self.last_rho, self.last_b)
                 v_init = jnp.asarray(pred.v, jnp.float32)
                 bias_init = jnp.asarray(pred.bias, jnp.float32)
-        gate = 1.5 * self.track_energy_ref + 0.5
+        gate = (self.cfg.track_gate_scale * self.track_energy_ref
+                + self.cfg.track_gate_offset)
         args = (self.tracker_ref, pyr, self.calib,
                 jnp.asarray(R_c), jnp.asarray(t_c), jnp.asarray(mask_c),
                 jnp.asarray(self.last_rho, jnp.float32),
@@ -675,7 +679,8 @@ class FullSystem:
             self.is_lost = False   # a valid track recovers the system
             # Cap: prior-inflated energies must not poison the ladder gate.
             self.track_energy_ref = min(
-                0.7 * self.track_energy_ref + 0.3 * best_e, 100.0)
+                0.7 * self.track_energy_ref + 0.3 * best_e,
+                self.cfg.track_gate_cap)
             # Constant-velocity model update (host numpy: tiny matrices).
             # Only from a VALID track — a diverged solve's pose would
             # poison every future frame's candidate ladder.

@@ -62,6 +62,15 @@ class Config:
     # order is unchanged; only the link round trip moves off the critical
     # path.
     async_fetch: bool = True
+    # Coarse-tracking energy gate: a candidate's solution is accepted while
+    # its per-level energy stays below scale*ref + offset, where ref is a
+    # running mean of achieved energies capped at `cap` (the TPU-side
+    # stand-in for the reference's per-level coarse cutoff machinery,
+    # setting_coarseCutoffTH + achieved-energy bookkeeping,
+    # CoarseTracker.cpp:590-660; registered so the knob is tunable).
+    track_gate_scale: float = 1.5
+    track_gate_offset: float = 0.5
+    track_gate_cap: float = 100.0
 
 
 @dataclasses.dataclass

@@ -58,7 +58,7 @@ def save(fs, path: str) -> None:
         state["imu"] = {
             "calib": imu.calib, "phase": imu.phase,
             "states": None if imu.states is None else _to_host(imu.states),
-            "pairs": [(i, j, _to_host(p)) for (i, j, p) in imu.pairs],
+            "pairs": [tuple(_to_host(x) for x in tup) for tup in imu.pairs],
             "HM": imu.HM, "bM0": imu.bM0,
             "prior_diag": None if imu.prior_diag is None
             else np.asarray(imu.prior_diag),
@@ -66,6 +66,30 @@ def save(fs, path: str) -> None:
             "s_log": imu.s_log, "g2": imu.g2,
             "init_result": None if imu.init_result is None
             else _to_host(imu.init_result),
+            # In-flight measurement buffers: without these a resumed run
+            # silently drops every sample since the last keyframe,
+            # corrupting the next KF-to-KF preintegration pair.
+            "kf_acc": [np.asarray(a) for a in imu._kf_acc],
+            "kf_gyr": [np.asarray(g) for g in imu._kf_gyr],
+            "kf_dts": [np.asarray(d) for d in imu._kf_dts],
+            # Coarse-init rolling window.
+            "init_poses": imu._init_poses,
+            "init_pres": [_to_host(p) for p in imu._init_pres],
+            "init_fids": list(imu._init_fids),
+            "init_dts": list(imu._init_dts),
+            "acc_sum": imu._acc_sum, "acc_n": imu._acc_n,
+            "last_frame_pre": None if imu.last_frame_pre is None
+            else _to_host(imu.last_frame_pre),
+            "last_frame_pre_np": imu.last_frame_pre_np,
+            # Delayed-marginalization log + PGBA bookkeeping (host numpy;
+            # pickles directly).
+            "delayed_log": imu.delayed_log,
+            "kf_since_pgba": imu.kf_since_pgba,
+            "best_pgba_var": imu.best_pgba_var,
+            "pgba_adopted_once": getattr(imu, "_pgba_adopted_once", False),
+            "scale_fixed": getattr(imu, "scale_fixed", False),
+            "s_hist": getattr(imu, "_s_hist", []),
+            "last_init_decent": getattr(imu, "_last_init_decent", False),
         }
     with open(path, "wb") as f:
         pickle.dump(state, f)
@@ -114,7 +138,9 @@ def load(path: str):
         imu.phase = imu_state["phase"]
         imu.states = None if imu_state["states"] is None \
             else dev(imu_state["states"])
-        imu.pairs = [(i, j, dev(p)) for (i, j, p) in imu_state["pairs"]]
+        imu.pairs = [
+            (tup[0], tup[1], dev(tup[2])) + tuple(tup[3:])
+            for tup in imu_state["pairs"]]
         imu.HM = imu_state["HM"]
         imu.bM0 = imu_state["bM0"]
         imu.prior_diag = None if imu_state["prior_diag"] is None \
@@ -122,6 +148,29 @@ def load(path: str):
         imu.coarse = imu_state["coarse"]
         imu.s_log = imu_state["s_log"]
         imu.g2 = imu_state["g2"]
+        imu._kf_acc = [np.asarray(a, np.float32)
+                       for a in imu_state.get("kf_acc", [])]
+        imu._kf_gyr = [np.asarray(g, np.float32)
+                       for g in imu_state.get("kf_gyr", [])]
+        imu._kf_dts = [np.asarray(d, np.float32)
+                       for d in imu_state.get("kf_dts", [])]
+        imu._init_poses = list(imu_state.get("init_poses", []))
+        imu._init_pres = [dev(p) for p in imu_state.get("init_pres", [])]
+        imu._init_fids = list(imu_state.get("init_fids", []))
+        imu._init_dts = list(imu_state.get("init_dts", []))
+        imu._acc_sum = imu_state.get("acc_sum", np.zeros(3))
+        imu._acc_n = imu_state.get("acc_n", 0)
+        lfp = imu_state.get("last_frame_pre")
+        imu.last_frame_pre = None if lfp is None else dev(lfp)
+        imu.last_frame_pre_np = imu_state.get("last_frame_pre_np")
+        if imu_state.get("delayed_log") is not None:
+            imu.delayed_log = imu_state["delayed_log"]
+        imu.kf_since_pgba = imu_state.get("kf_since_pgba", 0)
+        imu.best_pgba_var = imu_state.get("best_pgba_var", float("inf"))
+        imu._pgba_adopted_once = imu_state.get("pgba_adopted_once", False)
+        imu.scale_fixed = imu_state.get("scale_fixed", False)
+        imu._s_hist = list(imu_state.get("s_hist", []))
+        imu._last_init_decent = imu_state.get("last_init_decent", False)
 
     # Rebuild the tracker reference from the stored window.
     if fs.initialized and fs.ref_kf_slot >= 0 \

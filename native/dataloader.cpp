@@ -63,11 +63,15 @@ Image decode_png(const std::string& path) {
   int w = 0, h = 0, bitdepth = 0, colortype = 0;
   std::vector<uint8_t> idat;
   size_t off = 8;
-  while (off + 8 <= size_t(n)) {
+  while (off + 12 <= size_t(n)) {
     uint32_t len = rd32(&buf[off]);
+    // Bounds: chunk payload + CRC must fit in the file (a truncated or
+    // corrupt chunk length would otherwise read out of bounds / wrap off).
+    if (len > size_t(n) || off + 12 + size_t(len) > size_t(n)) return out;
     const char* type = reinterpret_cast<const char*>(&buf[off + 4]);
     const uint8_t* data = &buf[off + 8];
     if (memcmp(type, "IHDR", 4) == 0) {
+      if (len < 13) return out;
       w = rd32(data);
       h = rd32(data + 4);
       bitdepth = data[8];
@@ -78,9 +82,9 @@ Image decode_png(const std::string& path) {
     } else if (memcmp(type, "IEND", 4) == 0) {
       break;
     }
-    off += 12 + len;
+    off += 12 + size_t(len);
   }
-  if (w <= 0 || h <= 0) return out;
+  if (w <= 0 || h <= 0 || size_t(w) * size_t(h) > (1u << 28)) return out;
   int ch;
   switch (colortype) {
     case 0: ch = 1; break;   // gray
@@ -124,7 +128,6 @@ Image decode_png(const std::string& path) {
   out.w = w;
   out.h = h;
   out.pix.resize(size_t(w) * h);
-  int step = bitdepth / 8;
   for (int y = 0; y < h; y++) {
     for (int x = 0; x < w; x++) {
       const uint8_t* p = &img[y * stride + size_t(x) * bpp];
@@ -171,6 +174,9 @@ struct Loader {
     Image im = decode_png(paths[idx]);
     std::vector<float>& dst = slots[idx % slots.size()];
     dst.assign(size_t(out_w) * out_h, 0.0f);
+    // A decoded size different from the declared calibration size would
+    // index the vignette map and the remap grid out of bounds.
+    if (im.ok && (im.w != in_w || im.h != in_h)) im.ok = false;
     if (im.ok) {
       // Photometric correction on the raw grid.
       if (!gamma.empty() || !vignette.empty()) {
@@ -201,7 +207,13 @@ struct Loader {
         }
       }
     }
-    state[idx % slots.size()].store(2);
+    {
+      // The state transition must be serialized with the waiters'
+      // predicate checks: storing outside the mutex can publish 2 between
+      // a waiter's predicate evaluation and its sleep (lost wakeup).
+      std::lock_guard<std::mutex> lk(m);
+      state[idx % slots.size()].store(2);
+    }
     cv.notify_all();
   }
 
@@ -235,8 +247,9 @@ struct Loader {
     cv.wait(lk, [&] { return state[slot].load() == 2; });
     memcpy(out, slots[slot].data(),
            sizeof(float) * size_t(out_w) * out_h);
-    state[slot].store(0);
+    state[slot].store(0);  // still under the mutex (lk) — see process()
     next_read++;
+    lk.unlock();
     cv.notify_all();
     return true;
   }
