@@ -18,3 +18,29 @@ jax.sharding/shard_map with psum-reduced camera systems.
 """
 
 __version__ = "0.1.0"
+
+
+def _honor_platform_env() -> None:
+    """Make JAX_PLATFORMS / JAX_PLATFORM_NAME effective under the axon TPU
+    plugin, which registers itself regardless of those variables: the only
+    reliable override is jax.config (tests/conftest.py does the same). Must
+    run before first backend use, hence at package import."""
+    import os
+
+    # JAX_PLATFORM_NAME first: this image's profile exports
+    # JAX_PLATFORMS=axon globally, so that variable carries the DEFAULT,
+    # not a user request — honoring it would override the user's
+    # JAX_PLATFORM_NAME=cpu right back to the TPU. Re-asserting the
+    # ambient "axon" default is a no-op, so skip it.
+    want = (os.environ.get("JAX_PLATFORM_NAME")
+            or os.environ.get("JAX_PLATFORMS") or "").strip().lower()
+    if want and want != "axon":
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass  # backend already initialized; leave it be
+
+
+_honor_platform_env()

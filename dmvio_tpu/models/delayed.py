@@ -68,10 +68,23 @@ class SymbolicPair:
 
 
 class DelayedLog:
-    """Bounded FIFO of marginalization events + symbolic IMU pairs."""
+    """Bounded FIFO of marginalization events + symbolic IMU pairs.
 
-    def __init__(self, delay: int = 48):
+    R_cb/t_cb: camera-IMU extrinsics. Every pair (re)linearization runs
+    through the full TransformDSOToIMU chain with the REAL calibration
+    (the reference carries T_cam_imu everywhere,
+    PoseTransformationIMU.h:45-133); round 1 passed identity here, which
+    silently mis-frames scale/gravity on any rotated rig. Default delay
+    matches the reference (init_pgbaDelay=100, IMUInitSettings.h:62)."""
+
+    def __init__(self, delay: int = 100,
+                 R_cb: Optional[np.ndarray] = None,
+                 t_cb: Optional[np.ndarray] = None):
         self.delay = delay
+        self.R_cb = (np.eye(3) if R_cb is None
+                     else np.asarray(R_cb, np.float64))
+        self.t_cb = (np.zeros(3) if t_cb is None
+                     else np.asarray(t_cb, np.float64))
         self.events: Deque[MargEvent] = deque()
         self.pairs: List[SymbolicPair] = []
         # Tail prior over retired keyframes' still-referenced coords.
@@ -135,7 +148,8 @@ class DelayedLog:
             if p.fid_i == ev.victim or p.fid_j == ev.victim:
                 if p.fid_i in off and p.fid_j in off:
                     Hp, bp, idx = _linearize_pair(
-                        p, fej, off, ev.s_log0, ev.g20)
+                        p, fej, off, ev.s_log0, ev.g20,
+                        self.R_cb, self.t_cb)
                     H[np.ix_(idx, idx)] += Hp
                     b[idx] += bp
             else:
@@ -235,7 +249,8 @@ class DelayedLog:
         # Jacobians at the adopted scale/gravity.
         for p in self.pairs:
             Hp, bp, idx = _linearize_pair(p, point, off, s_log,
-                                          np.asarray(g2))
+                                          np.asarray(g2),
+                                          self.R_cb, self.t_cb)
             H[np.ix_(idx, idx)] += Hp
             b[idx] += bp
 
@@ -294,20 +309,12 @@ def _left_jac_np(w):
             + (t - np.sin(t)) / (t ** 3) * W @ W)
 
 
-def _linearize_pair(p: SymbolicPair, fej: Dict[int, KFState],
-                    off: Dict[int, int], s_log: float, g2: np.ndarray):
-    """Host float64 linearization of one IMU pair at the given states.
-
-    Returns (H [30+3 x ...], b, global index array) over
-    [s,g2 | i-block 17 | j-block 17] mapped through `off` (aff columns are
-    zero — IMU factors do not touch brightness)."""
-    from dmvio_tpu.models import vio_coarse as vc
+def pair_weights(pre: dict):
+    """Sqrt-information of one pair: (W9 over [r_R, r_v, r_p], Wb over the
+    bias walk). The small inflation keeps long-chunk preintegration
+    covariances invertible and matches round 1's FD implementation."""
     from dmvio_tpu.ops import preint as P
 
-    sti = fej[p.fid_i]
-    stj = fej[p.fid_j]
-    pre = p.pre
-    g_vec = np.array([0.0, 0.0, -P.GRAVITY])
     infl = np.diag(np.concatenate([
         np.full(3, 1e-3 ** 2), np.full(3, 0.01 ** 2),
         np.full(3, 0.003 ** 2)]))
@@ -317,60 +324,30 @@ def _linearize_pair(p: SymbolicPair, fej: Dict[int, KFState],
     Wb = np.diag(np.concatenate([
         np.full(3, 1.0 / (P.NOISE.sigma_gyro_walk * np.sqrt(max(dt, 1e-6)))),
         np.full(3, 1.0 / (P.NOISE.sigma_acc_walk * np.sqrt(max(dt, 1e-6))))]))
+    return W9, Wb
 
-    def resid(z):
-        # z = [ds, dg2(2), xi_i(6), dv_i, dbg_i, dba_i, xi_j(6), dv_j,...]
-        s = s_log + z[0]
-        g2z = np.asarray(g2, np.float64) + z[1:3]
-        R_g = vc._exp_so3(np.array([g2z[0], g2z[1], 0.0]))
 
-        def apply(st: KFState, o):
-            xi = z[o:o + 6]
-            dR = vc._exp_so3(xi[3:6])
-            V = _left_jac_np(xi[3:6])
-            R = dR @ st.R_cw
-            t = dR @ st.t_cw + V @ xi[0:3]
-            return R, t
+def _linearize_pair(p: SymbolicPair, fej: Dict[int, KFState],
+                    off: Dict[int, int], s_log: float, g2: np.ndarray,
+                    R_cb: np.ndarray, t_cb: np.ndarray):
+    """Host float64 ANALYTIC linearization of one IMU pair at the given
+    states (models/imu_factors.py), through the full camera-IMU extrinsic
+    chain.
 
-        R_i, t_i = apply(sti, 3)
-        R_j, t_j = apply(stj, 18)
-        v_i = sti.v + z[9:12]
-        v_j = stj.v + z[24:27]
-        bg_i = sti.bg + z[12:15]
-        ba_i = sti.ba + z[15:18]
-        bg_j = stj.bg + z[27:30]
-        ba_j = stj.ba + z[30:33]
-        Rb_i, pb_i = vc.dso_to_body_np(R_i, t_i, np.exp(s), R_g,
-                                       np.eye(3), np.zeros(3))
-        Rb_j, pb_j = vc.dso_to_body_np(R_j, t_j, np.exp(s), R_g,
-                                       np.eye(3), np.zeros(3))
-        dbg = bg_i - pre["bias_lin"][:3]
-        dba = ba_i - pre["bias_lin"][3:6]
-        dR = np.asarray(pre["dR"]) @ vc._exp_so3(
-            np.asarray(pre["dR_dbg"]) @ dbg)
-        dv = np.asarray(pre["dv"]) + pre["dv_dbg"] @ dbg + \
-            pre["dv_dba"] @ dba
-        dp = np.asarray(pre["dp"]) + pre["dp_dbg"] @ dbg + \
-            pre["dp_dba"] @ dba
-        r_R = vc._log_so3(dR.T @ Rb_i.T @ Rb_j)
-        r_v = Rb_i.T @ (v_j - v_i - g_vec * dt) - dv
-        r_p = Rb_i.T @ (pb_j - pb_i - v_i * dt
-                        - 0.5 * g_vec * dt ** 2) - dp
-        rb = np.concatenate([bg_j - bg_i, ba_j - ba_i])
-        return np.concatenate([W9 @ np.concatenate([r_R, r_v, r_p]),
-                               Wb @ rb])
+    Returns (H [33 x 33], b, global index array) over
+    [s,g2 | i-block 17 | j-block 17] mapped through `off` (aff columns are
+    zero — IMU factors do not touch brightness)."""
+    from dmvio_tpu.models import imu_factors
 
-    dim = 33
-    r0 = resid(np.zeros(dim))
-    J = np.zeros((15, dim))
-    eps = 1e-6
-    for k in range(dim):
-        z = np.zeros(dim)
-        z[k] = eps
-        J[:, k] = (resid(z) - r0) / eps
+    r, J = imu_factors.linearize_pair(
+        fej[p.fid_i], fej[p.fid_j], p.pre, s_log, np.asarray(g2),
+        R_cb, t_cb)
+    W9, Wb = pair_weights(p.pre)
+    Jw = np.concatenate([W9 @ J[:9], Wb @ J[9:]], axis=0)
+    rw = np.concatenate([W9 @ r[:9], Wb @ r[9:]])
 
-    H = J.T @ J
-    b = J.T @ r0
+    H = Jw.T @ Jw
+    b = Jw.T @ rw
     # Map local [s,g2, i(15: xi6+v3+b6), j(15)] to the 17-dim blocks
     # (skip aff columns).
     idx = np.concatenate([

@@ -65,6 +65,11 @@ class IMUCalib:
     # IMUInitSettings.h:64-65 — reference default 1.0).
     coarse_scale_th: float = 1.0
     pgba_scale_th: float = 1.0
+    # Delayed-marginalization depth (init_pgbaDelay, IMUInitSettings.h:62 —
+    # reference default 100) and the PGBA keyframe cap (>= delay so the
+    # whole delayed window is re-optimizable).
+    pgba_delay: int = 100
+    pgba_max_kfs: int = 100
 
 
 def _pad_chunk(acc, gyr, dts, cap):
@@ -119,8 +124,11 @@ class IMUSystem:
         self.last_frame_pre_np: Optional[dict] = None
         self.s_log = 0.0
         self.g2 = np.zeros(2)
-        # Delayed marginalization log + PGBA bookkeeping.
-        self.delayed_log = delayed.DelayedLog(delay=48)
+        # Delayed marginalization log + PGBA bookkeeping (real camera-IMU
+        # extrinsics: every pair relinearization runs the full
+        # TransformDSOToIMU chain).
+        self.delayed_log = delayed.DelayedLog(
+            delay=calib.pgba_delay, R_cb=calib.R_cb, t_cb=calib.t_cb)
         self.kf_since_pgba = 0
         self.best_pgba_var = float("inf")
 
@@ -197,8 +205,11 @@ class IMUSystem:
         # camera rotates (GravityInitializer.cpp:29-85 averages in a fixed
         # frame too).
         if getattr(self, "_last_chunk_acc_mean", None) is not None:
-            self._acc_sum += np.asarray(R_cw_approx).T @ \
-                self._last_chunk_acc_mean
+            # Body-frame specific force -> camera frame (R_cb) -> world
+            # (tracked attitude). Identity-rig round 1 skipped the R_cb hop.
+            self._acc_sum += np.asarray(R_cw_approx).T @ (
+                np.asarray(self.calib.R_cb, np.float64)
+                @ self._last_chunk_acc_mean)
             self._acc_n += 1
         self._init_poses.append((np.asarray(R_rel), np.asarray(t_rel),
                                  ref_fid))
@@ -619,7 +630,8 @@ class IMUSystem:
                 try:
                     holder[0] = pgba.run(log_copy, win, active_event,
                                          float(st_np[0]),
-                                         np.asarray(st_np[1]))
+                                         np.asarray(st_np[1]),
+                                         max_kfs=self.calib.pgba_max_kfs)
                 except Exception:
                     holder[0] = None
 
@@ -629,7 +641,8 @@ class IMUSystem:
             return False
         with TimeMeasurement("pgba"):
             res = pgba.run(self.delayed_log, win, active_event,
-                           float(st_np[0]), np.asarray(st_np[1]))
+                           float(st_np[0]), np.asarray(st_np[1]),
+                           max_kfs=self.calib.pgba_max_kfs)
         if res is None or not res.ok:
             return False
         return self._adopt_pgba(res, frames_dev, slot_fids)

@@ -84,7 +84,7 @@ def run(log: DelayedLog,
         active_event: Optional[MargEvent],
         s_log0: float, g20: np.ndarray,
         iters: int = 12,
-        max_kfs: int = 48) -> Optional[PGBAResult]:
+        max_kfs: int = 100) -> Optional[PGBAResult]:
     """LM over [s, g2, per-KF (xi, aff, v, bg, ba)].
 
     window_states: current-window keyframe states (their visual info enters
@@ -144,11 +144,14 @@ def run(log: DelayedLog,
             d[off[f]:off[f] + KDIM] = _state_delta(cur[f], fej[f])
         return d
 
+    R_cb, t_cb = log.R_cb, log.t_cb
+
     def pair_system():
         H = np.zeros((C, C))
         b = np.zeros(C)
         for p in pairs:
-            Hp, bp, idx = _linearize_pair(p, cur, off, s_log, g2)
+            Hp, bp, idx = _linearize_pair(p, cur, off, s_log, g2,
+                                          R_cb, t_cb)
             H[np.ix_(idx, idx)] += Hp
             b[idx] += bp
         return H, b
@@ -156,7 +159,7 @@ def run(log: DelayedLog,
     def pair_energy(sl, gg, states):
         e = 0.0
         for p in pairs:
-            r = _pair_residual_np(p, states, sl, gg)
+            r = _pair_residual_np(p, states, sl, gg, R_cb, t_cb)
             e += float(r @ r)
         return e
 
@@ -219,36 +222,15 @@ def run(log: DelayedLog,
 
 
 def _pair_residual_np(p: SymbolicPair, states: Dict[int, KFState],
-                      s_log: float, g2: np.ndarray) -> np.ndarray:
-    """Weighted 15-dim residual of one pair at given states (host f64)."""
-    from dmvio_tpu.ops import preint as P
+                      s_log: float, g2: np.ndarray,
+                      R_cb: np.ndarray, t_cb: np.ndarray) -> np.ndarray:
+    """Weighted 15-dim residual of one pair at given states (host f64),
+    through the camera-IMU extrinsic chain (imu_factors residual)."""
+    from dmvio_tpu.models import imu_factors
+    from dmvio_tpu.models.delayed import pair_weights
 
-    sti = states[p.fid_i]
-    stj = states[p.fid_j]
-    pre = p.pre
-    g_vec = np.array([0.0, 0.0, -P.GRAVITY])
-    infl = np.diag(np.concatenate([
-        np.full(3, 1e-3 ** 2), np.full(3, 0.01 ** 2),
-        np.full(3, 0.003 ** 2)]))
-    W9 = np.linalg.inv(np.linalg.cholesky(
-        np.asarray(pre["cov"]) + infl + 1e-14 * np.eye(9)))
-    dt = float(pre["dt"])
-    Wb = np.diag(np.concatenate([
-        np.full(3, 1.0 / (P.NOISE.sigma_gyro_walk * np.sqrt(max(dt, 1e-6)))),
-        np.full(3, 1.0 / (P.NOISE.sigma_acc_walk * np.sqrt(max(dt, 1e-6))))]))
-    R_g = vc._exp_so3(np.array([g2[0], g2[1], 0.0]))
-    s = np.exp(s_log)
-    Rb_i, pb_i = vc.dso_to_body_np(sti.R_cw, sti.t_cw, s, R_g,
-                                   np.eye(3), np.zeros(3))
-    Rb_j, pb_j = vc.dso_to_body_np(stj.R_cw, stj.t_cw, s, R_g,
-                                   np.eye(3), np.zeros(3))
-    dbg = sti.bg - pre["bias_lin"][:3]
-    dba = sti.ba - pre["bias_lin"][3:6]
-    dR = np.asarray(pre["dR"]) @ vc._exp_so3(np.asarray(pre["dR_dbg"]) @ dbg)
-    dv = np.asarray(pre["dv"]) + pre["dv_dbg"] @ dbg + pre["dv_dba"] @ dba
-    dp = np.asarray(pre["dp"]) + pre["dp_dbg"] @ dbg + pre["dp_dba"] @ dba
-    r_R = vc._log_so3(dR.T @ Rb_i.T @ Rb_j)
-    r_v = Rb_i.T @ (stj.v - sti.v - g_vec * dt) - dv
-    r_p = Rb_i.T @ (pb_j - pb_i - sti.v * dt - 0.5 * g_vec * dt ** 2) - dp
-    rb = np.concatenate([stj.bg - sti.bg, stj.ba - sti.ba])
-    return np.concatenate([W9 @ np.concatenate([r_R, r_v, r_p]), Wb @ rb])
+    r, _J = imu_factors.linearize_pair(
+        states[p.fid_i], states[p.fid_j], p.pre, s_log, np.asarray(g2),
+        R_cb, t_cb)
+    W9, Wb = pair_weights(p.pre)
+    return np.concatenate([W9 @ r[:9], Wb @ r[9:]])

@@ -139,9 +139,10 @@ def predict(state: CoarseIMUState, pre: dict,
     v_new = state.v + g * dt + Rb @ dv
     R_cw_new, t_cw_new = body_to_dso_np(Rb_new, pb_new, s, R_g, R_cb, t_cb)
 
-    # Information propagation via the residual Jacobian over
-    # [prev(15) | new(15)], numeric differentiation in float64 (the state
-    # is tiny; exactness > elegance here).
+    # Information propagation via the ANALYTIC residual Jacobian over
+    # [prev(15) | new(15)] (models/imu_factors.py; scale/gravity columns
+    # dropped — they are fixed in the coarse filter, as in the reference's
+    # coarse graph).
     W9 = np.linalg.inv(np.linalg.cholesky(
         pre["cov"] + 1e-14 * np.eye(9)))
     from dmvio_tpu.ops import preint as _P
@@ -151,43 +152,16 @@ def predict(state: CoarseIMUState, pre: dict,
         np.full(3, 1.0 / (_P.NOISE.sigma_acc_walk
                           * np.sqrt(max(dt, 1e-6)))),
     ]))
+    from dmvio_tpu.models import imu_factors
 
-    def residual(z):
-        # z = [xi_prev(6), v_prev, b_prev | xi_new(6), v_new, b_new]
-        def apply(R0, t0, xi):
-            dRl = _exp_so3(xi[3:6])
-            # left-multiplicative se3 retraction (match utils/lie)
-            V = _left_jac(xi[3:6])
-            dtl = V @ xi[0:3]
-            return dRl @ R0, dRl @ t0 + dtl
-
-        R_i, t_i = apply(state.R_cw, state.t_cw, z[0:6])
-        R_j, t_j = apply(R_cw_new, t_cw_new, z[15:21])
-        v_i = state.v + z[6:9]
-        v_j = v_new + z[21:24]
-        b_i = state.bias + z[9:15]
-        b_j = state.bias + z[24:30]
-        Rbi, pbi = dso_to_body_np(R_i, t_i, s, R_g, R_cb, t_cb)
-        Rbj, pbj = dso_to_body_np(R_j, t_j, s, R_g, R_cb, t_cb)
-        dbgz = b_i[:3] - pre["bias_lin"][:3]
-        dbaz = b_i[3:6] - pre["bias_lin"][3:6]
-        dRz = pre["dR"] @ _exp_so3(pre["dR_dbg"] @ dbgz)
-        dvz = pre["dv"] + pre["dv_dbg"] @ dbgz + pre["dv_dba"] @ dbaz
-        dpz = pre["dp"] + pre["dp_dbg"] @ dbgz + pre["dp_dba"] @ dbaz
-        r_R = _log_so3(dRz.T @ Rbi.T @ Rbj)
-        r_v = Rbi.T @ (v_j - v_i - g * dt) - dvz
-        r_p = Rbi.T @ (pbj - pbi - v_i * dt - 0.5 * g * dt ** 2) - dpz
-        r9 = W9 @ np.concatenate([r_R, r_v, r_p])
-        rb = Wb @ (b_j - b_i)
-        return np.concatenate([r9, rb])
-
-    eps = 1e-6
-    J = np.zeros((15, 30))
-    r0 = residual(np.zeros(30))
-    for k in range(30):
-        z = np.zeros(30)
-        z[k] = eps
-        J[:, k] = (residual(z) - r0) / eps
+    sti = imu_factors.FrameState(state.R_cw, state.t_cw, state.v,
+                                 state.bias[:3], state.bias[3:6])
+    stj = imu_factors.FrameState(R_cw_new, t_cw_new, v_new,
+                                 state.bias[:3], state.bias[3:6])
+    _r, J33 = imu_factors.linearize_pair(
+        sti, stj, pre, state.s_log, state.g2, R_cb, t_cb)
+    Jw = np.concatenate([W9 @ J33[:9], Wb @ J33[9:]], axis=0)
+    J = Jw[:, 3:33]   # [prev(15) | new(15)]; s/g2 columns dropped
 
     H_joint = J.T @ J
     H_joint[:15, :15] += state.H

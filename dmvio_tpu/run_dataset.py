@@ -49,6 +49,7 @@ def run(argv=None) -> dict:
         ("init_coarseScaleUncertaintyThresh", 1.0),
         ("init_pgba_scaleUncertaintyThresh", 1.0),
         ("init_pgba_reinitScaleUncertaintyThresh", 0.5),
+        ("init_pgbaDelay", 100),
     ]:
         su.register(name, default)
     cfg = window.Config()
@@ -104,6 +105,8 @@ def run(argv=None) -> dict:
             transition_model=su["init_transitionModel"],
             coarse_scale_th=su["init_coarseScaleUncertaintyThresh"],
             pgba_scale_th=su["init_pgba_scaleUncertaintyThresh"],
+            pgba_delay=su["init_pgbaDelay"],
+            pgba_max_kfs=max(su["init_pgbaDelay"], 8),
         )
         if su["camchain"]:
             import yaml

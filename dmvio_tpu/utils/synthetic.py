@@ -96,6 +96,23 @@ def room_scene(depth: float = 2.0) -> MultiPlaneScene:
         phase=jnp.asarray([0.0, 2.1, 4.4], jnp.float32))
 
 
+def transform_scene(scene, R, t):
+    """Rigidly transform a (Multi)PlaneScene in world coords: X' = R X + t."""
+    R = jnp.asarray(R, jnp.float32)
+    t = jnp.asarray(t, jnp.float32)
+    if isinstance(scene, MultiPlaneScene):
+        n = jnp.einsum("ij,pj->pi", R, scene.n)
+        X0 = jnp.einsum("ij,pj->pi", R, scene.X0) + t
+        return MultiPlaneScene(
+            n=n, d=jnp.einsum("pi,pi->p", n, X0), X0=X0,
+            e1=jnp.einsum("ij,pj->pi", R, scene.e1),
+            e2=jnp.einsum("ij,pj->pi", R, scene.e2), phase=scene.phase)
+    n = R @ scene.n
+    X0 = R @ scene.X0 + t
+    return PlaneScene(n=n, d=n @ X0, X0=X0, e1=R @ scene.e1,
+                      e2=R @ scene.e2)
+
+
 def texture(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """High-rank analytic texture in plane coordinates (meters).
 
@@ -200,6 +217,8 @@ def generate_vio_sequence(
     bias=(0.0,) * 6,
     seed: int = 0,
     v0=(0.22, -0.06, 0.1),
+    R_cb=None,
+    t_cb=None,
 ):
     """Full synthetic VIO sequence: rendered images + IMU + ground truth.
 
@@ -268,13 +287,36 @@ def generate_vio_sequence(
         states.append((R.copy(), p.copy(), v.copy()))
 
     R_g = np.asarray(lie.so3_exp(jnp.asarray([g2[0], g2[1], 0.0])))
+    if R_cb is not None:
+        # The stock scenes are laid out for the identity-rig camera's t=0
+        # view; with extrinsics the camera starts elsewhere (body at
+        # identity). Move the scene by T_f = T_wc_rot(0) T_wc_id(0)^-1 in
+        # the DSO world so the t=0 view is unchanged.
+        R_cb64 = np.asarray(R_cb, np.float64)
+        t_cb64 = np.asarray(t_cb, np.float64) if t_cb is not None \
+            else np.zeros(3)
+        R_f = R_g @ R_cb64.T @ R_g.T
+        t_f = -s_dso * (R_g @ (R_cb64.T @ t_cb64))
+        scene = transform_scene(scene, R_f, t_f)
+        t_cb = t_cb64
     images, R_dso, t_dso, v_gt, p_gt, R_b = [], [], [], [], [], []
     for f in range(n_frames):
         Rb, pb, vb = states[f * spf]
-        R_wc_d = R_g @ Rb
-        t_wc_d = s_dso * (R_g @ pb)
-        R_cw = jnp.asarray(R_wc_d.T, jnp.float32)
-        t_cw = jnp.asarray(-R_wc_d.T @ t_wc_d, jnp.float32)
+        if R_cb is not None:
+            # Camera != body rig: DSO camera pose through the full
+            # extrinsic chain (exact inverse of the factors' dso_to_body).
+            from dmvio_tpu.models.vio_coarse import body_to_dso_np
+
+            R_cw_np, t_cw_np = body_to_dso_np(
+                np.asarray(Rb, np.float64), np.asarray(pb, np.float64),
+                s_dso, R_g, np.asarray(R_cb, np.float64),
+                np.asarray(t_cb, np.float64))
+        else:
+            R_wc_d = R_g @ Rb
+            t_wc_d = s_dso * (R_g @ pb)
+            R_cw_np, t_cw_np = R_wc_d.T, -R_wc_d.T @ t_wc_d
+        R_cw = jnp.asarray(R_cw_np, jnp.float32)
+        t_cw = jnp.asarray(t_cw_np, jnp.float32)
         images.append(render(scene, R_cw, t_cw, calib, h, w))
         R_dso.append(R_cw)
         t_dso.append(t_cw)

@@ -126,3 +126,54 @@ def test_vio_state_streams(vio_run):
     # Published scales live in the same regime as the final estimate (the
     # scale keeps refining after the last keyframe publish).
     assert 0.2 < scales[-1, 1] / s_final < 5.0
+
+
+def test_vio_rotated_rig_metric():
+    """Full-system VIO on a 90-degree-rotated camera-IMU rig: the whole
+    inertial stack (coarse filter, init window, window BA, delayed log,
+    PGBA) must run through the real T_cam_imu and still deliver a metric
+    trajectory (TransformDSOToIMU parity, PoseTransformationIMU.h:45-133).
+    Round 1's delayed log / PGBA hard-coded identity extrinsics and would
+    corrupt the prior on such a rig."""
+    from dmvio_tpu.models.vio_coarse import _exp_so3
+
+    R_cb = _exp_so3(np.array([np.pi / 2, 0.0, 0.0])).astype(np.float32)
+    t_cb = np.array([0.06, -0.03, 0.04], np.float32)
+    n = 48
+    seq = synthetic.generate_vio_sequence(
+        n_frames=n, frame_dt=0.05, h=H, w=W,
+        s_dso=1.4, g2=(0.06, -0.04), accel_scale=0.8, rot_scale=0.45,
+        seed=3, scene=synthetic.default_scene(depth=2.0),
+        R_cb=R_cb, t_cb=t_cb)
+    cfg = window.Config(f_max=6, p_max=512, i_max=512, max_frames=4,
+                        levels=4, ba_iters=6)
+    fs = full_system.FullSystem(
+        seq["calib"], H, W, cfg,
+        imu_calib=imu_system.IMUCalib(R_cb=R_cb, t_cb=t_cb))
+    spf = seq["steps_per_frame"]
+    for i in range(n):
+        chunk = None
+        if i > 0:
+            s0, s1 = (i - 1) * spf, i * spf
+            chunk = (seq["acc"][s0:s1], seq["gyr"][s0:s1],
+                     np.full(s1 - s0, seq["imu_dt"], np.float32))
+        fs.add_frame(seq["images"][i], float(seq["timestamps"][i]),
+                     imu_data=chunk)
+    assert fs.initialized
+    assert fs.imu.phase == imu_system.ACTIVE, fs.imu.phase
+    est = fs.metric_trajectory()
+    assert est is not None
+    gt = [(float(seq["timestamps"][i]), np.asarray(seq["R_body"][i]),
+           seq["p_gt"][i]) for i in range(n)]
+    first_kf = min(fs.kf_poses.keys())
+    est_tail = [e for e, sh in zip(est, fs.shells)
+                if sh.frame_id >= first_kf + 5]
+    gt_tail = [g for g, sh in zip(gt, fs.shells)
+               if sh.frame_id >= first_kf + 5]
+    ate_sim3 = trajectory.ate_rmse(est_tail, gt_tail, with_scale=True)
+    ate_se3 = trajectory.ate_rmse(est_tail, gt_tail, with_scale=False)
+    dist = np.sum(np.linalg.norm(np.diff(
+        np.stack([g[2] for g in gt_tail]), axis=0), axis=1))
+    # Same tolerances as the identity-rig metric test.
+    assert ate_sim3 < 0.10 * dist + 0.02, (ate_sim3, dist)
+    assert ate_se3 < 0.25 * dist + 0.02, (ate_se3, dist)

@@ -17,7 +17,7 @@ KF_DT = 0.15
 N_KF = 24
 
 
-def build_world(seed=1, pose_noise=0.0):
+def build_world(seed=1, pose_noise=0.0, R_cb=None, t_cb=None):
     dt = 1.0 / IMU_HZ
     spk = int(KF_DT * IMU_HZ)
     accs, gyrs, states = simulate_metric(spk * (N_KF - 1), dt, noise=True,
@@ -25,9 +25,17 @@ def build_world(seed=1, pose_noise=0.0):
     rng = np.random.default_rng(seed + 5)
     kfs = {}
     pres = []
+    R_g = vc._exp_so3(np.array([G2_GT[0], G2_GT[1], 0.0]))
     for k in range(N_KF):
         Rb, pb, vb = states[k * spk]
-        Rc, tc = metric_to_dso(Rb, pb, S_GT, G2_GT)
+        if R_cb is not None:
+            # Camera != body: derive the DSO camera pose through the full
+            # extrinsic chain (body_to_dso_np is the exact inverse of the
+            # dso_to_body chain the factors use).
+            Rc, tc = vc.body_to_dso_np(np.asarray(Rb), np.asarray(pb),
+                                       S_GT, R_g, R_cb, t_cb)
+        else:
+            Rc, tc = metric_to_dso(Rb, pb, S_GT, G2_GT)
         Rc = np.asarray(Rc, np.float64)
         tc = np.asarray(tc, np.float64)
         if pose_noise > 0:
@@ -44,11 +52,11 @@ def build_world(seed=1, pose_noise=0.0):
     return kfs, pres
 
 
-def make_log(kfs, pres, pose_stiff=1e4):
+def make_log(kfs, pres, pose_stiff=1e4, R_cb=None, t_cb=None):
     """Delayed log whose events carry simple pose-anchoring quadratics (the
     role the visual system plays) and whose pairs are the symbolic IMU
     factors."""
-    log = delayed.DelayedLog(delay=64)
+    log = delayed.DelayedLog(delay=64, R_cb=R_cb, t_cb=t_cb)
     for k in range(N_KF - 1):
         C = delayed.GDIM + 2 * delayed.KDIM
         H = np.zeros((C, C))
@@ -77,11 +85,13 @@ def test_pair_linearization_consistent():
     and the residual vanishes at ground truth."""
     kfs, pres = build_world()
     p = delayed.SymbolicPair(fid_i=3, fid_j=4, pre=pres[3])
-    r = pgba._pair_residual_np(p, kfs, np.log(S_GT), G2_GT)
+    eye, zero = np.eye(3), np.zeros(3)
+    r = pgba._pair_residual_np(p, kfs, np.log(S_GT), G2_GT, eye, zero)
     assert np.abs(r).max() < 5.0, np.abs(r).max()   # noise-level residual
 
     off = {3: delayed.GDIM, 4: delayed.GDIM + delayed.KDIM}
-    H, b, idx = delayed._linearize_pair(p, kfs, off, np.log(S_GT), G2_GT)
+    H, b, idx = delayed._linearize_pair(p, kfs, off, np.log(S_GT), G2_GT,
+                                        eye, zero)
     assert np.isfinite(H).all() and np.isfinite(b).all()
     evals = np.linalg.eigvalsh(H)
     assert evals.min() > -1e-3 * max(abs(evals).max(), 1.0)
@@ -93,6 +103,26 @@ def test_pgba_recovers_scale_from_wrong_init():
     # Window = last few keyframes, current states = truth.
     window = {k: kfs[k] for k in range(N_KF - 4, N_KF)}
     wrong_s = np.log(S_GT) + 0.4      # 50% scale error
+    wrong_g = G2_GT + np.array([-0.05, 0.04])
+    res = pgba.run(log, window, None, wrong_s, wrong_g, iters=15)
+    assert res is not None and res.ok
+    assert abs(np.exp(res.s_log) - S_GT) / S_GT < 0.05, np.exp(res.s_log)
+    assert np.linalg.norm(res.g2 - G2_GT) < 0.03, res.g2
+    assert res.s_var < 0.05, res.s_var
+
+
+def test_pgba_rotated_rig_recovers_scale():
+    """A 90-degree-rotated camera-IMU rig (large T_cam_imu, the TUM-VI
+    regime) must recover scale/gravity exactly as the identity rig does —
+    the extrinsics flow through every pair (re)linearization
+    (TransformDSOToIMU parity, PoseTransformationIMU.h:45-133). Round 1
+    hard-coded identity here and would mis-frame gravity on such a rig."""
+    R_cb = vc._exp_so3(np.array([np.pi / 2, 0.0, 0.0]))
+    t_cb = np.array([0.08, -0.04, 0.05])
+    kfs, pres = build_world(R_cb=R_cb, t_cb=t_cb)
+    log = make_log(kfs, pres, R_cb=R_cb, t_cb=t_cb)
+    window = {k: kfs[k] for k in range(N_KF - 4, N_KF)}
+    wrong_s = np.log(S_GT) + 0.4
     wrong_g = G2_GT + np.array([-0.05, 0.04])
     res = pgba.run(log, window, None, wrong_s, wrong_g, iters=15)
     assert res is not None and res.ok
