@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dmvio_tpu.models import ba, coarse_tracker, initializer, window
-from dmvio_tpu.models import imu_system, vio_ba
+from dmvio_tpu.models import imu_system, vio_ba, vio_coarse
 from dmvio_tpu.ops import ba_solve, immature, interp, pyramid, select
 from dmvio_tpu.ops.residuals import BAFrames, BAPoints
 from dmvio_tpu.utils import fetch, lie
@@ -137,12 +137,12 @@ class FullSystem:
 
         imu_data: optional (acc [N,3], gyr [N,3], dts [N]) measurements
         since the previous frame (addActiveFrame's imuData argument)."""
-        if self.imu is not None and imu_data is not None:
-            self.imu.add_frame_imu(*imu_data)
-        with TimeMeasurement("pyramid"):
-            pyr = tuple(pyramid.build_pyramid_jit(img, levels=self.cfg.levels))
         fid = self.frame_id
         self.frame_id += 1
+        if self.imu is not None and imu_data is not None:
+            self.imu.add_frame_imu(*imu_data, fid=fid)
+        with TimeMeasurement("pyramid"):
+            pyr = tuple(pyramid.build_pyramid_jit(img, levels=self.cfg.levels))
 
         if fid == self.first_id:
             self.init.set_first(pyr)
@@ -173,7 +173,14 @@ class FullSystem:
                     R_c_ref=np.eye(3), t_c_ref=np.zeros(3), is_kf=True)
             return
 
-        if self.cfg.realtime and self.imu is None:
+        if self.cfg.realtime:
+            # Pipelined mode, visual AND inertial: per-frame tracking is
+            # dispatched immediately and consumed a frame later; the coarse
+            # IMU filter advances at consume time while dispatch-time
+            # predictions come from a non-mutating preview through the
+            # in-flight chunks (the reference runs the full inertial stack
+            # through its two-thread pipeline too, FullSystem.cpp:1124-1320,
+            # IMUIntegration.cpp:228-330).
             self._rt_frame(pyr, timestamp, fid)
             return
 
@@ -246,6 +253,36 @@ class FullSystem:
     # old reference until the switch (the reference's tracker
     # double-buffering, FullSystem.cpp:978-1002).
     def _rt_frame(self, pyr, ts, fid) -> None:
+        # Inertial dispatch-time state: the frame's own chunk snapshot plus
+        # a preview belief propagated through every unconsumed chunk (the
+        # authoritative filter sits at the last consumed frame).
+        imu_chunk = None
+        prior = None
+        v_init = None
+        bias_init = None
+        pred_pose = None
+        if self.imu is not None:
+            imu_chunk = self.imu.frame_chunk()
+            pending = [q["imu_chunk"]["pre_np"]
+                       if q.get("imu_chunk") else None
+                       for q in self._rt_queue]
+            pending.append(imu_chunk["pre_np"] if imu_chunk else None)
+            preview = self.imu.predict_preview(pending)
+            if preview is not None:
+                # Host ref pose is always fresh in VIO mode (keyframes run
+                # synchronously at consume), so the relative prediction and
+                # the 17-dof prior can be built on host like the serial path.
+                R_ref, t_ref = self.ref_pose_np
+                R_rel = preview.R_cw @ np.asarray(R_ref, np.float64).T
+                t_rel = preview.t_cw - R_rel @ np.asarray(t_ref, np.float64)
+                pred_pose = (R_rel.astype(np.float32),
+                             t_rel.astype(np.float32))
+                prior = vio_coarse.make_tracker_prior(
+                    preview, np.asarray(R_ref, np.float64),
+                    np.asarray(t_ref, np.float64),
+                    float(self.last_rho), float(self.last_b))
+                v_init = jnp.asarray(preview.v, jnp.float32)
+                bias_init = jnp.asarray(preview.bias, jnp.float32)
         if self._last_pose_dev is not None \
                 and self._prev_pose_dev is not None:
             # Candidates from DEVICE pose history: dispatch never waits on
@@ -254,6 +291,11 @@ class FullSystem:
             R_c, t_c, mask_c = window_ops.track_candidates(
                 *self._last_pose_dev, *self._prev_pose_dev,
                 self.win.frames, self.ref_kf_slot)
+            if pred_pose is not None:
+                # IMU prediction takes the pad slot of the fixed [4] batch.
+                R_c = R_c.at[3].set(jnp.asarray(pred_pose[0]))
+                t_c = t_c.at[3].set(jnp.asarray(pred_pose[1]))
+                mask_c = mask_c.at[3].set(True)
         else:
             # Cold start (right after init/reset): host caches are fresh.
             self._finalize_kf()
@@ -269,6 +311,9 @@ class FullSystem:
             t_h[2] = lt
             R_h[3] = np.eye(3)
             m_h[1:] = True
+            if pred_pose is not None:
+                R_h[0], t_h[0] = pred_pose
+                m_h[0] = True
             R_c, t_c, mask_c = (jnp.asarray(R_h), jnp.asarray(t_h),
                                 jnp.asarray(m_h))
         gate = (self.cfg.track_gate_scale * self.track_energy_ref
@@ -278,7 +323,8 @@ class FullSystem:
             R_c, t_c, mask_c,
             jnp.asarray(self.last_rho, jnp.float32),
             jnp.asarray(self.last_b, jnp.float32),
-            jnp.asarray(gate, jnp.float32), levels=self.cfg.levels)
+            jnp.asarray(gate, jnp.float32), levels=self.cfg.levels,
+            prior=prior, v_init=v_init, bias_init=bias_init)
         # NOTE: no copy_to_host_async here — under the axon TPU tunnel its
         # first use stalls the process for minutes (measured 86-600s), and
         # when it does not stall it buys nothing over a settled device_get
@@ -306,6 +352,7 @@ class FullSystem:
                       else self.ref_pose_np),
             shell_idx=len(self.shells) - 1,
             R_cw=R_cw, t_cw=t_cw, aff=aff_new, imm_before=imm_before,
+            imu_chunk=imu_chunk, had_prior=prior is not None,
             # Start the host copy NOW: by the time this frame is consumed
             # (one frame later) the round trip has landed.
             future=self._fetcher.submit(packed)))
@@ -356,6 +403,13 @@ class FullSystem:
                 p["R_cw"], p["t_cw"], p["aff"] = window_ops.compose_abs_pose(
                     res_r.R, res_r.t, res_r.rho, res_r.b_aff,
                     self.win.frames, self.ref_kf_slot)
+                if p.get("had_prior") and self.imu is not None:
+                    # The IMU-prior joint solve failed but pure-visual
+                    # rescue succeeded: the coarse belief is inconsistent —
+                    # reset it; the next keyframe's BA re-seeds it (mutual
+                    # vision/IMU fallback, FullSystem.cpp:440-445).
+                    self.imu.coarse = None
+                    p["had_prior"] = False
         if not pk.any_valid:
             # Lost: report the constant-velocity prediction, never a
             # diverged solve's (possibly non-finite) pose.
@@ -391,13 +445,35 @@ class FullSystem:
         else:
             self.is_lost = True
             self.stats_lost_frames += 1
+
+        if self.imu is not None:
+            # Advance the AUTHORITATIVE coarse belief through this frame's
+            # own chunk (the serial path's predict-before-track, replayed
+            # at consume time — the filter always sits at the last consumed
+            # frame), then fold in the visual evidence exactly as the
+            # serial path does (addVisualToCoarseGraph).
+            chunk = p.get("imu_chunk")
+            if chunk is not None:
+                self.imu.predict_coarse(chunk["pre_np"])
+            if pk.any_valid:
+                if self.imu.phase == imu_system.ACTIVE:
+                    if p.get("had_prior"):
+                        self.imu.fuse_tracked(pk.H_vis, R_cw_np, t_cw_np,
+                                              pk.v, pk.bias)
+                elif chunk is not None:
+                    self.imu.record_init_pose(p["fid"], p["ref_kf_id"],
+                                              pk.R, pk.t, R_cw_np,
+                                              chunk=chunk)
+
         if self.output_wrappers:
             from dmvio_tpu.io import output_wrapper as ow
+            status = (ow.VISUAL_INERTIAL if self._vio_mode()
+                      else ow.VISUAL_ONLY)
             for w_ in self.output_wrappers:
                 w_.publish_cam_pose(p["fid"], p["ts"], R_cw_np, t_cw_np)
-                if ow.VISUAL_ONLY != self._published_status:
-                    w_.publish_system_status(ow.VISUAL_ONLY)
-            self._published_status = ow.VISUAL_ONLY
+                if status != self._published_status:
+                    w_.publish_system_status(status)
+            self._published_status = status
 
         cfg = self.cfg
         score = cfg.kf_weight * (
@@ -417,9 +493,22 @@ class FullSystem:
             if self._rt_queue:
                 self.imm = self._rt_queue[0]["imm_before"]
             with TimeMeasurement("keyframe_total"):
-                self._make_keyframe_rt(p["pyr"], p["ts"], p["fid"],
-                                       p["R_cw"], p["t_cw"], p["aff"],
-                                       shell_idx=p["shell_idx"])
+                if self.imu is not None:
+                    # Inertial keyframes run the FULL synchronous tail (IMU
+                    # pair registration, VIO marginalization, init machine,
+                    # PGBA seam) — host pose caches stay fresh, so no
+                    # deferred finalize exists in VIO mode. The reference's
+                    # mapping thread is likewise synchronous per keyframe
+                    # w.r.t. the inertial bookkeeping
+                    # (IMUIntegration.cpp:228-330).
+                    self._make_keyframe(p["pyr"], p["ts"], p["fid"],
+                                        p["R_cw"], p["t_cw"], p["aff"],
+                                        shell_idx=p["shell_idx"],
+                                        upto_fid=p["fid"])
+                else:
+                    self._make_keyframe_rt(p["pyr"], p["ts"], p["fid"],
+                                           p["R_cw"], p["t_cw"], p["aff"],
+                                           shell_idx=p["shell_idx"])
             # Re-issue the in-flight frames' tracking against the fresh
             # reference — extra device dispatches, zero extra host syncs
             # (the replacement results are consumed at the next drain).
@@ -509,8 +598,14 @@ class FullSystem:
             res.R, res.t, res.rho, res.b_aff, self.win.frames,
             self.ref_kf_slot)
         p.update(packed=packed, ref_kf_id=self.ref_kf_id,
-                 ref_pose=None,   # patched by _finalize_kf
+                 # Deferred keyframe: pose cache is in flight, patched by
+                 # _finalize_kf. Synchronous keyframe (VIO): fresh already.
+                 ref_pose=(None if self._kf_finalize is not None
+                           else self.ref_pose_np),
                  R_cw=R_cw, t_cw=t_cw, aff=aff_new, imm_before=self.imm,
+                 # The replacement solve carried no IMU prior: its v/bias
+                 # outputs are passthroughs, not estimates.
+                 had_prior=False,
                  # The pending copy belongs to the replaced dispatch —
                  # start a fresh one for the replacement results.
                  future=self._fetcher.submit(packed))
@@ -579,6 +674,7 @@ class FullSystem:
             imu._kf_acc.clear()
             imu._kf_gyr.clear()
             imu._kf_dts.clear()
+            imu._kf_fids.clear()
             imu.kf_since_pgba = 0
         from dmvio_tpu.io import output_wrapper as ow
         for w_ in self.output_wrappers:
@@ -762,23 +858,29 @@ class FullSystem:
             self.imu._kf_acc.clear()
             self.imu._kf_gyr.clear()
             self.imu._kf_dts.clear()
+            self.imu._kf_fids.clear()
             self.imu.phase = imu_system.COARSE_INIT
 
     # ------------------------------------------------------------------
-    def _make_keyframe(self, pyr, ts, fid, R_cw, t_cw, aff_new):
+    def _make_keyframe(self, pyr, ts, fid, R_cw, t_cw, aff_new,
+                       shell_idx: Optional[int] = None,
+                       upto_fid: Optional[int] = None):
         cfg = self.cfg
         w = self.win
         slot = w.free_frame_slot()
         prev_slot = self.ref_kf_slot
         w.insert_frame(slot, fid, pyr, R_cw, t_cw, aff_new)
         w.set_frame_prior(slot, 0.0, cfg.aff_a_prior, cfg.aff_b_prior)
-        self.shells[-1].is_kf = True
+        self.shells[-1 if shell_idx is None else shell_idx].is_kf = True
         self.stats_kf += 1
 
         if self.imu is not None:
             pred_v = (np.asarray(self.imu.coarse.v)
                       if self.imu.coarse is not None else None)
-            self.imu.on_new_keyframe(prev_slot, slot, pred_v)
+            # upto_fid (realtime): younger in-flight frames' samples are
+            # already buffered — the KF-to-KF chunk stops at this keyframe.
+            self.imu.on_new_keyframe(prev_slot, slot, pred_v,
+                                     upto_fid=upto_fid)
 
         with TimeMeasurement("activate"):
             self._activate_points(slot)

@@ -107,6 +107,7 @@ class IMUSystem:
         self._kf_acc: List[np.ndarray] = []
         self._kf_gyr: List[np.ndarray] = []
         self._kf_dts: List[np.ndarray] = []
+        self._kf_fids: List[int] = []   # frame id per buffered chunk
         # Coarse-init rolling window: dso poses + frame-to-frame preints.
         self._init_poses: List[Tuple[np.ndarray, np.ndarray]] = []
         self._init_pres: List[preint.PreintState] = []
@@ -133,26 +134,43 @@ class IMUSystem:
         self.best_pgba_var = float("inf")
 
     # -- per-frame ingestion ------------------------------------------------
-    def add_frame_imu(self, acc, gyr, dts) -> None:
+    def add_frame_imu(self, acc, gyr, dts, fid: int = -1) -> None:
         """Buffer one frame's measurements; preintegrate the frame chunk.
 
         The frame chunk is preintegrated TWICE: on device (f32, feeds the
         init-window optimizer) and on host in float64 (feeds the coarse
-        filter, whose information Schur cannot survive f32)."""
+        filter, whose information Schur cannot survive f32).
+
+        fid tags the chunk with its frame id so the realtime pipeline's
+        one-frame-late keyframe decision can split the KF-to-KF buffer at
+        the right boundary (samples of frames dispatched AFTER the keyframe
+        have already been ingested by the time the decision lands)."""
         if len(dts) == 0:
             self.last_frame_pre = None
             self.last_frame_pre_np = None
+            self._last_chunk_acc_mean = None
             return
         self._last_chunk_acc_mean = np.asarray(acc).mean(axis=0)
         self._kf_acc.append(np.asarray(acc, np.float32))
         self._kf_gyr.append(np.asarray(gyr, np.float32))
         self._kf_dts.append(np.asarray(dts, np.float32))
+        self._kf_fids.append(int(fid))
         a, g, d = _pad_chunk(acc, gyr, dts, FRAME_IMU_CAP)
         self.last_frame_pre = preint.preintegrate_jit(a, g, d, jnp.zeros(6))
         bias_np = (self.coarse.bias if self.coarse is not None
                    else np.zeros(6))
         self.last_frame_pre_np = preint.preintegrate_np(acc, gyr, dts,
                                                         bias_np)
+
+    def frame_chunk(self):
+        """Snapshot of the just-ingested frame chunk (for the realtime
+        pipeline, whose consume step runs frames late: the `last_*` members
+        will have been overwritten by newer frames by then)."""
+        if self.last_frame_pre_np is None:
+            return None
+        return dict(pre=self.last_frame_pre,
+                    pre_np=self.last_frame_pre_np,
+                    acc_mean=getattr(self, "_last_chunk_acc_mean", None))
 
     def gravity_guess(self) -> np.ndarray:
         if self._acc_n == 0:
@@ -161,17 +179,42 @@ class IMUSystem:
             jnp.asarray(self._acc_sum / self._acc_n, jnp.float32)))
 
     # -- tracking-side (coarse, host float64) ------------------------------
-    def predict_coarse(self):
-        """Propagate the coarse belief through the last frame chunk."""
-        if self.phase != ACTIVE or self.coarse is None \
-                or getattr(self, "last_frame_pre_np", None) is None:
+    def predict_coarse(self, chunk_np: Optional[dict] = None):
+        """Propagate the coarse belief through one frame chunk (the last
+        ingested by default; the realtime pipeline passes the consumed
+        frame's own chunk instead)."""
+        if chunk_np is None:
+            chunk_np = getattr(self, "last_frame_pre_np", None)
+        if self.phase != ACTIVE or self.coarse is None or chunk_np is None:
             return None
         with TimeMeasurement("imu_predict"):
             self.coarse = vio_coarse.predict(
-                self.coarse, self.last_frame_pre_np,
+                self.coarse, chunk_np,
                 np.asarray(self.calib.R_cb, np.float64),
                 np.asarray(self.calib.t_cb, np.float64))
         return self.coarse
+
+    def predict_preview(self, chunks_np) -> Optional[
+            "vio_coarse.CoarseIMUState"]:
+        """NON-mutating prediction through a list of frame chunks: the
+        realtime pipeline's dispatch-time prediction. The authoritative
+        belief sits at the last CONSUMED frame; the in-flight frames'
+        chunks (visual results still crossing the link) plus the new
+        frame's chunk are propagated through a copy, so dispatch never
+        waits for a fetch. The preview is slightly weaker than the serial
+        prediction (the in-flight frames' visual fusion is missing), which
+        only softens the tracker prior — conservative by construction."""
+        if self.phase != ACTIVE or self.coarse is None:
+            return None
+        state = self.coarse
+        R_cb = np.asarray(self.calib.R_cb, np.float64)
+        t_cb = np.asarray(self.calib.t_cb, np.float64)
+        with TimeMeasurement("imu_predict"):
+            for ch in chunks_np:
+                if ch is None:
+                    return None   # a chunk gap breaks the prediction chain
+                state = vio_coarse.predict(state, ch, R_cb, t_cb)
+        return state
 
     def coarse_prior(self, R_ref_np, t_ref_np, rho0, b0):
         if self.phase != ACTIVE or self.coarse is None:
@@ -188,34 +231,39 @@ class IMUSystem:
 
     # -- init machine -------------------------------------------------------
     def record_init_pose(self, fid: int, ref_fid: int,
-                         R_rel, t_rel, R_cw_approx) -> None:
+                         R_rel, t_rel, R_cw_approx,
+                         chunk: Optional[dict] = None) -> None:
         """Feed a tracked-frame pose + its chunk into the init window
-        (IMUInitializer::addPose path).
+        (IMUInitializer::addPose path). `chunk` is the frame's own snapshot
+        (frame_chunk()) in realtime mode, where the `last_*` members have
+        moved on by consume time.
 
         Poses are stored RELATIVE to their tracking-reference keyframe and
         resolved against the LATEST optimized KF poses at init time —
         absolute poses recorded at tracking time jump by the BA correction
         at every keyframe (1-2 deg), which poisons the gyro consistency of
         the init window."""
-        if self.phase == ACTIVE or self.last_frame_pre is None:
+        if chunk is None:
+            chunk = self.frame_chunk()
+        if self.phase == ACTIVE or chunk is None:
             return
         # Gravity bootstrap: rotate the chunk's mean specific force into the
         # DSO WORLD with the (approximate) tracked attitude before
         # averaging — raw body-frame averaging is meaningless once the
         # camera rotates (GravityInitializer.cpp:29-85 averages in a fixed
         # frame too).
-        if getattr(self, "_last_chunk_acc_mean", None) is not None:
+        if chunk.get("acc_mean") is not None:
             # Body-frame specific force -> camera frame (R_cb) -> world
             # (tracked attitude). Identity-rig round 1 skipped the R_cb hop.
             self._acc_sum += np.asarray(R_cw_approx).T @ (
                 np.asarray(self.calib.R_cb, np.float64)
-                @ self._last_chunk_acc_mean)
+                @ chunk["acc_mean"])
             self._acc_n += 1
         self._init_poses.append((np.asarray(R_rel), np.asarray(t_rel),
                                  ref_fid))
-        self._init_pres.append(self.last_frame_pre)
+        self._init_pres.append(chunk["pre"])
         self._init_fids.append(fid)
-        self._init_dts.append(float(self.last_frame_pre_np["dt"]))
+        self._init_dts.append(float(chunk["pre_np"]["dt"]))
         if len(self._init_poses) > INIT_WINDOW:
             self._init_poses.pop(0)
             self._init_pres.pop(0)
@@ -372,28 +420,41 @@ class IMUSystem:
         self.phase = ACTIVE
 
     # -- keyframe-side ------------------------------------------------------
-    def kf_chunk_preint(self):
+    def kf_chunk_preint(self, upto_fid: Optional[int] = None):
         """Preintegrate everything since the last keyframe (device f32 for
-        the window BA + host f64 for the delayed log / PGBA)."""
+        the window BA + host f64 for the delayed log / PGBA).
+
+        upto_fid bounds the chunk at the keyframe's own frame: in realtime
+        mode the KF decision lands one-plus frames late, by which time
+        younger frames' samples are already buffered — they belong to the
+        NEXT pair and stay."""
         if not self._kf_dts:
             return None, None
-        acc = np.concatenate(self._kf_acc)
-        gyr = np.concatenate(self._kf_gyr)
-        dts = np.concatenate(self._kf_dts)
+        if upto_fid is None:
+            n_take = len(self._kf_dts)
+        else:
+            n_take = sum(1 for f in self._kf_fids if f <= int(upto_fid))
+        if n_take == 0:
+            return None, None
+        acc = np.concatenate(self._kf_acc[:n_take])
+        gyr = np.concatenate(self._kf_gyr[:n_take])
+        dts = np.concatenate(self._kf_dts[:n_take])
         a, g, d = _pad_chunk(acc, gyr, dts, KF_IMU_CAP)
         blin_np = np.zeros(6) if self.init_result is None else \
             np.asarray(self.init_result.bias)
         pre = preint.preintegrate_jit(a, g, d, jnp.asarray(blin_np))
         pre_np = preint.preintegrate_np(acc, gyr, dts, blin_np)
-        self._kf_acc.clear()
-        self._kf_gyr.clear()
-        self._kf_dts.clear()
+        del self._kf_acc[:n_take]
+        del self._kf_gyr[:n_take]
+        del self._kf_dts[:n_take]
+        del self._kf_fids[:n_take]
         return pre, pre_np
 
     def on_new_keyframe(self, prev_slot: int, new_slot: int,
-                        pred_v: Optional[np.ndarray]) -> None:
+                        pred_v: Optional[np.ndarray],
+                        upto_fid: Optional[int] = None) -> None:
         """Register the KF-to-KF pair and seed the new slot's states."""
-        pre, pre_np = self.kf_chunk_preint()
+        pre, pre_np = self.kf_chunk_preint(upto_fid)
         if self.phase != ACTIVE or self.states is None:
             return
         if pre is not None and prev_slot is not None and prev_slot >= 0:

@@ -72,6 +72,7 @@ def save(fs, path: str) -> None:
             "kf_acc": [np.asarray(a) for a in imu._kf_acc],
             "kf_gyr": [np.asarray(g) for g in imu._kf_gyr],
             "kf_dts": [np.asarray(d) for d in imu._kf_dts],
+            "kf_fids": list(imu._kf_fids),
             # Coarse-init rolling window.
             "init_poses": imu._init_poses,
             "init_pres": [_to_host(p) for p in imu._init_pres],
@@ -154,6 +155,8 @@ def load(path: str):
                        for g in imu_state.get("kf_gyr", [])]
         imu._kf_dts = [np.asarray(d, np.float32)
                        for d in imu_state.get("kf_dts", [])]
+        imu._kf_fids = list(imu_state.get(
+            "kf_fids", [-1] * len(imu._kf_dts)))
         imu._init_poses = list(imu_state.get("init_poses", []))
         imu._init_pres = [dev(p) for p in imu_state.get("init_pres", [])]
         imu._init_fids = list(imu_state.get("init_fids", []))

@@ -128,6 +128,49 @@ def test_vio_state_streams(vio_run):
     assert 0.2 < scales[-1, 1] / s_final < 5.0
 
 
+def test_vio_realtime_pipeline(vio_run):
+    """Realtime (pipelined) VIO: the same sequence through the one-frame
+    software pipeline — dispatch-time IMU preview prior through the
+    in-flight chunks, consume-time filter advance + fusion, synchronous
+    inertial keyframes (the reference runs the full inertial stack through
+    its two-thread pipeline, FullSystem.cpp:1124-1320 +
+    IMUIntegration.cpp:228-330). Must activate and hit the serial run's
+    accuracy tolerances."""
+    _, seq = vio_run
+    cfg = window.Config(f_max=6, p_max=512, i_max=512, max_frames=4,
+                        levels=4, ba_iters=6, realtime=True)
+    fs = full_system.FullSystem(seq["calib"], H, W, cfg,
+                                imu_calib=imu_system.IMUCalib())
+    spf = seq["steps_per_frame"]
+    for i in range(N_FRAMES):
+        chunk = None
+        if i > 0:
+            s0, s1 = (i - 1) * spf, i * spf
+            chunk = (seq["acc"][s0:s1], seq["gyr"][s0:s1],
+                     np.full(s1 - s0, seq["imu_dt"], np.float32))
+        fs.add_frame(seq["images"][i], float(seq["timestamps"][i]),
+                     imu_data=chunk)
+    fs.finish()
+    assert fs.initialized
+    assert fs.imu.phase == imu_system.ACTIVE, fs.imu.phase
+    assert fs.stats_lost_frames < 0.15 * N_FRAMES, fs.stats_lost_frames
+    est = fs.metric_trajectory()
+    assert est is not None
+    gt = [(float(seq["timestamps"][i]), np.asarray(seq["R_body"][i]),
+           seq["p_gt"][i]) for i in range(N_FRAMES)]
+    first_kf = min(fs.kf_poses.keys())
+    est_tail = [e for e, sh in zip(est, fs.shells)
+                if sh.frame_id >= first_kf + 5]
+    gt_tail = [g for g, sh in zip(gt, fs.shells)
+               if sh.frame_id >= first_kf + 5]
+    ate_sim3 = trajectory.ate_rmse(est_tail, gt_tail, with_scale=True)
+    ate_se3 = trajectory.ate_rmse(est_tail, gt_tail, with_scale=False)
+    dist = np.sum(np.linalg.norm(np.diff(
+        np.stack([g[2] for g in gt_tail]), axis=0), axis=1))
+    assert ate_sim3 < 0.10 * dist + 0.02, (ate_sim3, dist)
+    assert ate_se3 < 0.25 * dist + 0.02, (ate_se3, dist)
+
+
 def test_vio_rotated_rig_metric():
     """Full-system VIO on a 90-degree-rotated camera-IMU rig: the whole
     inertial stack (coarse filter, init window, window BA, delayed log,
