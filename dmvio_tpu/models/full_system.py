@@ -129,6 +129,14 @@ class FullSystem:
         self._fetcher = fetch.AsyncFetcher(enabled=cfg.async_fetch)
         self._last_pose_dev = None   # device pose history for candidates
         self._prev_pose_dev = None
+        # Distributed BA: the point-axis programs (window BA, point
+        # marginalization) run sharded over a device mesh; everything else
+        # stays on the home device (parallel/dist_ba.Placer).
+        self.placer = None
+        if self.cfg.mesh_devices and self.cfg.mesh_devices > 1:
+            from dmvio_tpu.parallel import dist_ba
+            self.placer = dist_ba.Placer(
+                dist_ba.make_mesh(self.cfg.mesh_devices))
 
     # ------------------------------------------------------------------
     def add_frame(self, img: jnp.ndarray, timestamp: float,
@@ -1016,6 +1024,7 @@ class FullSystem:
             bM0=jnp.asarray(w.bM0, jnp.float32),
             prior_diag=jnp.asarray(w.prior_diag), pair_mask=w.pair_mask,
         )
+        images = w.images
         if self._vio_mode():
             imu = self.imu
             problem = vio_ba.VIOProblem(
@@ -1025,11 +1034,21 @@ class FullSystem:
                 prior_diag=self._ext_prior_diag(),
                 R_cb=imu.R_cb, t_cb=imu.t_cb, imu_on=jnp.asarray(True),
             )
-            result = vio_ba.optimize_jit(problem, w.images,
+            if self.placer is not None:
+                problem = self.placer.place_vio(problem)
+                images = self.placer.place_images(w.images)
+            result = vio_ba.optimize_jit(problem, images,
                                          max_iters=max_iters)
+            if self.placer is not None:
+                result = self.placer.gather(result)
             imu.states = result.states
         else:
-            result = ba.optimize_jit(base, w.images, max_iters=max_iters)
+            if self.placer is not None:
+                base = self.placer.place_ba(base)
+                images = self.placer.place_images(w.images)
+            result = ba.optimize_jit(base, images, max_iters=max_iters)
+            if self.placer is not None:
+                result = self.placer.gather(result)
         w.frames = result.frames
         w.points = result.points
         w.calib = result.calib
@@ -1134,8 +1153,16 @@ class FullSystem:
                 prior_diag=self._ext_prior_diag(),
                 R_cb=imu.R_cb, t_cb=imu.t_cb,
                 imu_on=jnp.asarray(True))
-            HM_add, bM_add = vio_ba.marginalize_points_ext_jit(
-                vproblem, w.images, marg_pts, F)
+            if self.placer is not None:
+                # Place a COPY for the sharded linearization; vproblem's
+                # home-device arrays keep feeding the pair fold below.
+                HM_add, bM_add = vio_ba.marginalize_points_ext_jit(
+                    self.placer.place_vio(vproblem),
+                    self.placer.place_images(w.images),
+                    self.placer.point_sharded(marg_pts), F)
+            else:
+                HM_add, bM_add = vio_ba.marginalize_points_ext_jit(
+                    vproblem, w.images, marg_pts, F)
             # Victims are host-known: dispatch the pair-factor fold NOW so
             # its result rides the same fetch (one round trip per KF).
             touching = [q for q, tup in enumerate(imu.pairs)
@@ -1150,6 +1177,11 @@ class FullSystem:
             st = imu.states
             fej_dev = (w.frames.R0_cw, w.frames.t0_cw, w.frames.aff0,
                        st.v0, st.bg0, st.ba0, st.s_log0, st.g20)
+        elif self.placer is not None:
+            HM_add, bM_add = ba.marginalization_update_jit(
+                self.placer.place_ba(problem),
+                self.placer.place_images(w.images),
+                self.placer.point_sharded(marg_pts))
         else:
             HM_add, bM_add = ba.marginalization_update_jit(
                 problem, w.images, marg_pts)
@@ -1254,9 +1286,18 @@ class FullSystem:
             calib0=w.calib0, HM=jnp.asarray(w.HM, jnp.float32),
             bM0=jnp.asarray(w.bM0, jnp.float32),
             prior_diag=jnp.asarray(w.prior_diag), pair_mask=w.pair_mask)
-        return ba.marg_fused_jit(
-            problem, w.images, jnp.asarray(age_rank),
+        images = w.images
+        if self.placer is not None:
+            problem = self.placer.place_ba(problem)
+            images = self.placer.place_images(w.images)
+        out = ba.marg_fused_jit(
+            problem, images, jnp.asarray(age_rank),
             jnp.asarray(n_drop, jnp.int32), newest_slot)
+        if self.placer is not None:
+            # points_new / pair_mask_new re-enter the single-device window
+            # state; the rest is fetched host-side anyway.
+            out = self.placer.gather(out)
+        return out
 
     def _apply_marg_host(self, vlist, HM_np, bM_np,
                          pts_new_d, pm_new_d) -> None:
@@ -1454,8 +1495,14 @@ class FullSystem:
             calib0=w.calib0, HM=jnp.asarray(w.HM, jnp.float32),
             bM0=jnp.asarray(w.bM0, jnp.float32),
             prior_diag=jnp.asarray(w.prior_diag), pair_mask=w.pair_mask)
-        H_add, b_add = ba.marginalization_update_jit(
-            problem, w.images, w.points.mask)
+        if self.placer is not None:
+            H_add, b_add = ba.marginalization_update_jit(
+                self.placer.place_ba(problem),
+                self.placer.place_images(w.images),
+                self.placer.point_sharded(w.points.mask))
+        else:
+            H_add, b_add = ba.marginalization_update_jit(
+                problem, w.images, w.points.mask)
         H_ext = vio_ba.embed_vis(H_add * vio_ba.W_DSO, F)
         b_ext = vio_ba.embed_vis(b_add * vio_ba.W_DSO, F)
         slots = w.slots_by_age()

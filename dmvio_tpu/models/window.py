@@ -71,6 +71,12 @@ class Config:
     track_gate_scale: float = 1.5
     track_gate_offset: float = 0.5
     track_gate_cap: float = 100.0
+    # Distributed BA: shard the window's point-axis programs (BA solve,
+    # point marginalization) over an n-device jax.sharding.Mesh — the
+    # reference's residual-range thread pool (IndexThreadReduce.h:80-146)
+    # mapped onto chips. 0/1 = single device; >1 needs that many visible
+    # devices (real chips, or --xla_force_host_platform_device_count).
+    mesh_devices: int = 0
 
 
 @dataclasses.dataclass
