@@ -44,3 +44,25 @@ def _honor_platform_env() -> None:
 
 
 _honor_platform_env()
+
+
+def _set_matmul_precision() -> None:
+    """Force full-f32 matmul/einsum precision.
+
+    The TPU MXU's default f32 "matmul" truncates operand mantissas to
+    bf16 (8 bits) per pass; on this pipeline that is NOT a benign speed
+    knob — measured on identical inputs, the device-side IMU-init
+    optimizer converged to energy 215 (vs 1.5 on CPU/f32) and tracking
+    lost 12/132 frames (vs 0): the estimator sits on accept-gates with
+    documented chaotic sensitivity (docs/PERF.md), and geometry spans too
+    much dynamic range for 8 mantissa bits. 'highest' = 3-pass f32: the
+    extra MXU passes cost a fraction of a visual pipeline dominated by
+    gathers/VPU work. Hot ops that are PROVEN insensitive can relax
+    per-op via precision=... arguments; the global default must be
+    correct-first."""
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+
+_set_matmul_precision()
