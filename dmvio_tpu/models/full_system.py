@@ -129,6 +129,7 @@ class FullSystem:
         self._fetcher = fetch.AsyncFetcher(enabled=cfg.async_fetch)
         self._last_pose_dev = None   # device pose history for candidates
         self._prev_pose_dev = None
+        self._last_exposure = None   # previous frame's shutter time
         # Distributed BA: the point-axis programs (window BA, point
         # marginalization) run sharded over a device mesh; everything else
         # stays on the home device (parallel/dist_ba.Placer).
@@ -140,13 +141,29 @@ class FullSystem:
 
     # ------------------------------------------------------------------
     def add_frame(self, img: jnp.ndarray, timestamp: float,
-                  imu_data=None) -> None:
+                  imu_data=None, exposure: float = 1.0) -> None:
         """Feed one photometrically-corrected [H, W] image.
 
         imu_data: optional (acc [N,3], gyr [N,3], dts [N]) measurements
-        since the previous frame (addActiveFrame's imuData argument)."""
+        since the previous frame (addActiveFrame's imuData argument).
+        exposure: shutter time of this frame (seconds or any consistent
+        unit; 1.0 = unknown/constant)."""
         fid = self.frame_id
         self.frame_id += 1
+        # Exposure-relative brightness model (AffLight::fromToVecExposure,
+        # NumType.h:174; used throughout tracking, CoarseTracker.cpp:306):
+        # the KNOWN log-exposure ratio shifts every log-gain seed — the
+        # constant-brightness prediction, the initializer's warm starts —
+        # so the estimators only absorb the residual (unknown) gain. The
+        # per-frame affine states themselves stay total-gain (exposure
+        # included), which keeps every residual/Jacobian unchanged.
+        e_exp = max(float(exposure), 1e-6)
+        if self._last_exposure is not None and e_exp != self._last_exposure:
+            dlog = float(np.log(e_exp) - np.log(self._last_exposure))
+            self.last_rho += dlog
+            if not self.initialized:
+                self.init.shift_rho(dlog)
+        self._last_exposure = e_exp
         if self.imu is not None and imu_data is not None:
             self.imu.add_frame_imu(*imu_data, fid=fid)
         with TimeMeasurement("pyramid"):

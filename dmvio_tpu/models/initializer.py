@@ -97,6 +97,14 @@ class VisualInitializer:
         self.frames_since_first = 0
         self._reset_candidates()
 
+    def shift_rho(self, dlog: float) -> None:
+        """Shift every hypothesis' log-gain warm start by a KNOWN
+        log-exposure ratio (exposure-relative brightness seeding; the
+        reference's init tracker works on exposure-normalized affines,
+        AffLight::fromToVecExposure, NumType.h:174). rho here is
+        first-frame-relative, so per-frame ratios accumulate."""
+        self.c_rho = self.c_rho + jnp.asarray(dlog, jnp.float32)
+
     def try_init(self, new_pyr) -> Optional[InitResult]:
         """Joint-GN track of this frame (all hypotheses in one vmapped
         program); returns InitResult once the best hypothesis has been

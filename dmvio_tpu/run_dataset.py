@@ -154,7 +154,8 @@ def run(argv=None) -> dict:
                 if len(dts):
                     imu_chunk = (acc, gyr, dts)
             fs.add_frame(img, reader.frames[i].timestamp,
-                         imu_data=imu_chunk)
+                         imu_data=imu_chunk,
+                         exposure=reader.frames[i].exposure)
         if not su["quiet"] and i % 50 == 0:
             print(f"frame {i}/{n} kf={fs.stats_kf} "
                   f"init={fs.initialized} lost={fs.is_lost}")

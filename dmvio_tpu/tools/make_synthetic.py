@@ -36,16 +36,27 @@ def main(argv=None):
         s_dso=float(args.get("s_dso", 1.0)))
     calib = seq["calib"]
 
+    # Auto-exposure emulation: exposure_var=V > 0 modulates the shutter
+    # time smoothly by up to +-V around 1.0 (a TUM-VI-like auto-exposure
+    # sweep); image values scale with the shutter, and the true exposure
+    # is written to times.txt column 3 — the reference's dataset format
+    # (its brightness model is exposure-relative, NumType.h:174).
+    exp_var = float(args.get("exposure_var", 0.0))
+    rng = np.random.default_rng(seed + 101)
+    phase = rng.uniform(0, 2 * np.pi)
+    exposures = 1.0 + exp_var * np.sin(
+        0.35 * np.arange(n) + phase).astype(np.float64)
+
     img_dir = os.path.join(out, "images")
     os.makedirs(img_dir, exist_ok=True)
 
     with open(os.path.join(out, "times.txt"), "w") as tf:
         for i, ts in enumerate(seq["timestamps"]):
             name = f"{i:05d}"
-            img = np.clip(np.asarray(seq["images"][i]), 0, 255).astype(
-                np.uint8)
+            img = np.clip(np.asarray(seq["images"][i]) * exposures[i],
+                          0, 255).astype(np.uint8)
             Image.fromarray(img).save(os.path.join(img_dir, name + ".png"))
-            tf.write(f"{name} {ts:.6f} 1.0\n")
+            tf.write(f"{name} {ts:.6f} {exposures[i]:.6f}\n")
 
     with open(os.path.join(out, "camera.txt"), "w") as cf:
         cf.write(f"Pinhole {float(calib.fx)} {float(calib.fy)} "

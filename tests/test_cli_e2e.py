@@ -60,3 +60,37 @@ def test_cli_kf_trajectory_subset(cli_run):
     ts_all = {round(e[0], 6) for e in est}
     assert 3 <= len(kfs) < len(est)
     assert all(round(k[0], 6) in ts_all for k in kfs)
+
+
+def _ate_of_run(data, out):
+    est = trajectory.read_tum(out + "result.txt")
+    gt = trajectory.read_tum(os.path.join(data, "gt.csv"))
+    n = min(len(est), len(gt))
+    ate = trajectory.ate_rmse(est[:n], gt[:n])
+    Q = np.stack([g[2] for g in gt[:n]])
+    dist = float(np.sum(np.linalg.norm(np.diff(Q, axis=0), axis=1)))
+    return ate, dist
+
+
+def test_cli_exposure_invariance(cli_run):
+    """Auto-exposure robustness: the same sequence with a +-30% shutter
+    sweep (values in times.txt, images scaled accordingly) must track as
+    well as the constant-exposure run — the exposure-relative brightness
+    model (AffLight::fromToVecExposure, NumType.h:174; exposure seeds the
+    log-gain, the estimator absorbs only the residual)."""
+    data_c, out_c = cli_run
+    data = tempfile.mkdtemp(prefix="cli_e2e_exp_data_")
+    out = tempfile.mkdtemp(prefix="cli_e2e_exp_out_") + "/"
+    make_synthetic.main([f"out={data}", f"n={N_FRAMES}", "w=256", "h=192",
+                         "accel=0.4", "rot=0.2", "exposure_var=0.3"])
+    run_dataset.run([
+        f"files={data}/images", f"calib={data}/camera.txt",
+        f"tsFile={data}/times.txt", f"resultsPrefix={out}",
+        "quiet=1", "nativeLoader=0", "p_max=1024", "i_max=1024",
+    ])
+    ate_e, dist_e = _ate_of_run(data, out)
+    ate_c, dist_c = _ate_of_run(data_c, out_c)
+    # Same accuracy gate as the constant-exposure test, plus a relative
+    # bound against the constant-exposure run itself.
+    assert ate_e < 0.08 * dist_e + 0.02, (ate_e, dist_e)
+    assert ate_e < 2.5 * ate_c + 0.01, (ate_e, ate_c)
