@@ -933,36 +933,13 @@ class FullSystem:
             pose_pack_np = self._kf_fused_tail(slot, snap)
             pose_pack = self._record_kf_poses(pose_pack_np)
         else:
-            # VIO path: the extended-state marginalization still uses the
-            # stats-fetch flow (several host float64 stages). The inertial
-            # states ride the same fetch (reinit_coarse_from_ba needs them
-            # after marginalization; fetching twice costs a round trip).
-            st_dev = self.imu.states if self._vio_mode() else None
-            with TimeMeasurement("kf_sync_stats"):
-                stats_np, pose_pack_np, st_host = jax.device_get(
-                    (window_ops.marg_stats(w.frames, w.points, w.pair_mask),
-                     window_ops.kf_pose_pack(w.frames), st_dev))
-            n_after = float(stats_np[4 * F])
-            if self._n_active > 60 and \
-                    n_after < max(40.0, 0.15 * self._n_active):
-                # The BA flagged (nearly) the whole map as outliers — a
-                # diverged optimization, not a map update. Revert it
-                # entirely (the reference aborts via initFailed/reset).
-                w.frames, w.points, w.pair_mask, w.calib = snap[:4]
-                if self.imu is not None and snap[4] is not None:
-                    self.imu.states = snap[4]
-                self.calib = w.calib
-                w.frames = window_ops.set_fej_current(w.frames, slot)
-                st_dev = self.imu.states if self._vio_mode() else None
-                stats_np, pose_pack_np, st_host = jax.device_get(
-                    (window_ops.marg_stats(w.frames, w.points, w.pair_mask),
-                     window_ops.kf_pose_pack(w.frames), st_dev))
-                n_after = float(stats_np[4 * F])
-            self._kf_st_host = st_host
-            self._n_active = n_after
+            # VIO path: fused single-sync tail, the extended twin of the
+            # visual one (vio_ba.vio_marg_fused) — device victim selection,
+            # extended point-marg fold, pair-factor fold, drops; the
+            # inertial states ride the same fetch (reinit_coarse_from_ba
+            # needs them after marginalization).
+            pose_pack_np = self._kf_fused_tail_vio(slot, snap)
             pose_pack = self._record_kf_poses(pose_pack_np)
-            with TimeMeasurement("marginalize"):
-                self._marginalize(slot, stats_np)
         with TimeMeasurement("tracker_ref"):
             self._set_tracker_ref(slot, fid, pose_pack)
         with TimeMeasurement("spawn_immatures"):
@@ -1121,135 +1098,6 @@ class FullSystem:
             use_spacing=use_spacing)
 
     # ------------------------------------------------------------------
-    def _marginalize(self, newest_slot: int, stats_np: np.ndarray):
-        """Frame selection + point/frame marginalization
-        (flagFramesForMarginalization heuristic, FullSystemMarginalize.cpp:
-        61). Decisions come from the packed stats fetch; the math runs on
-        device with a padded victim list (static shapes)."""
-        w = self.win
-        F = self.cfg.f_max
-        slots = w.slots_by_age()
-        if len(slots) <= self.cfg.max_frames:
-            return
-        n_drop = len(slots) - self.cfg.max_frames
-        eligible = slots[:-2] if len(slots) > 2 else []
-        if not eligible:
-            return
-        t = stats_np[:3 * F].reshape(F, 3)
-        scores = []
-        for s_ in eligible:
-            dists = [np.linalg.norm(t[s_] - t[j]) for j in slots if j != s_]
-            d_latest = np.linalg.norm(t[s_] - t[newest_slot])
-            scores.append(-np.sqrt(d_latest) * sum(
-                1.0 / (1e-5 + d) for d in dists))
-        victims = [eligible[i] for i in np.argsort(scores)[:n_drop]]
-
-        vlist = np.full(F, -1, np.int32)
-        vlist[:len(victims)] = victims
-        vlist_j = jnp.asarray(vlist)
-        hosted, marg_pts, pair_rows_cleared = window_ops.victims_masks(
-            w.points, w.pair_mask, vlist_j)
-
-        vio = self._vio_mode()
-        problem = ba.BAProblem(
-            frames=w.frames, points=w.points, calib=w.calib,
-            calib0=w.calib0, HM=jnp.asarray(w.HM, jnp.float32),
-            bM0=jnp.asarray(w.bM0, jnp.float32),
-            prior_diag=jnp.asarray(w.prior_diag), pair_mask=w.pair_mask,
-        )
-        fold_dev = None
-        fej_dev = None
-        touching = []
-        if vio:
-            imu = self.imu
-            vproblem = vio_ba.VIOProblem(
-                base=problem, states=imu.states,
-                pairs=imu.device_pairs(),
-                HM=jnp.asarray(imu.HM, jnp.float32),
-                bM0=jnp.asarray(imu.bM0, jnp.float32),
-                prior_diag=self._ext_prior_diag(),
-                R_cb=imu.R_cb, t_cb=imu.t_cb,
-                imu_on=jnp.asarray(True))
-            if self.placer is not None:
-                # Place a COPY for the sharded linearization; vproblem's
-                # home-device arrays keep feeding the pair fold below.
-                HM_add, bM_add = vio_ba.marginalize_points_ext_jit(
-                    self.placer.place_vio(vproblem),
-                    self.placer.place_images(w.images),
-                    self.placer.point_sharded(marg_pts), F)
-            else:
-                HM_add, bM_add = vio_ba.marginalize_points_ext_jit(
-                    vproblem, w.images, marg_pts, F)
-            # Victims are host-known: dispatch the pair-factor fold NOW so
-            # its result rides the same fetch (one round trip per KF).
-            touching = [q for q, tup in enumerate(imu.pairs)
-                        if tup[0] in victims or tup[1] in victims]
-            if touching:
-                sel = np.zeros(F - 1, bool)
-                sel[touching] = True
-                fold_dev = vio_ba.fold_pairs_into_prior_jit(
-                    w.frames, imu.states, vproblem.pairs, imu.R_cb,
-                    imu.t_cb, w.calib, w.calib0, F, jnp.asarray(sel))
-            # FEJ snapshot for the delayed-log events, same fetch.
-            st = imu.states
-            fej_dev = (w.frames.R0_cw, w.frames.t0_cw, w.frames.aff0,
-                       st.v0, st.bg0, st.ba0, st.s_log0, st.g20)
-        elif self.placer is not None:
-            HM_add, bM_add = ba.marginalization_update_jit(
-                self.placer.place_ba(problem),
-                self.placer.place_images(w.images),
-                self.placer.point_sharded(marg_pts))
-        else:
-            HM_add, bM_add = ba.marginalization_update_jit(
-                problem, w.images, marg_pts)
-        # Drop hosted points and the victims' pair rows (device), THEN one
-        # batched fetch carries the prior addition and the post-drop
-        # density (the map-dead reset guard needs the density AFTER a
-        # victim's hosted points die — a mass extinction the pre-marg
-        # stats cannot see). Each avoided sync is a tunnel round trip.
-        w.points, w.pair_mask = window_ops.drop_points_mask(
-            w.points, pair_rows_cleared, hosted)
-        with TimeMeasurement("marg_sync"):
-            HM_np, bM_np, n_after, fold_np, fej_np = jax.device_get(
-                (HM_add, bM_add,
-                 jnp.sum(w.points.mask.astype(jnp.float32)),
-                 fold_dev, fej_dev))
-        self._n_active = float(n_after)
-        if vio:
-            HM_add_np = np.asarray(HM_np, np.float64)
-            bM_add_np = np.asarray(bM_np, np.float64)
-            self.imu.HM = self.imu.HM + HM_add_np
-            self.imu.bM0 = self.imu.bM0 + bM_add_np
-            self._vio_event_quad = (HM_add_np, bM_add_np)
-        else:
-            w.HM = w.HM + np.asarray(HM_np, np.float64)
-            w.bM0 = w.bM0 + np.asarray(bM_np, np.float64)
-        if vio:
-            self._vio_marginalize_frames(victims, fold_np, fej_np)
-            self._vio_event_quad = None
-        else:
-            Cv = ba_solve.cdim(F)
-            for s_ in victims:
-                w.frame_prior_into_HM(s_)
-                i0 = ba_solve.CPART + 8 * s_
-                mmask = np.zeros(Cv, bool)
-                mmask[i0:i0 + 8] = True
-                w.HM, w.bM0 = vio_ba.schur_out_np(w.HM, w.bM0, mmask)
-                w.frames, w.pair_mask = window_ops.drop_frame_slot(
-                    w.frames, w.pair_mask, s_)
-                w.pyramids[s_] = None
-                w.slot_frame_id[s_] = None
-        if vio:
-            for s_ in victims:
-                w.pyramids[s_] = None
-                w.slot_frame_id[s_] = None
-        # Immatures hosted in dead frames die too; orphaned points follow.
-        is_victim = jnp.any(
-            self.imm.host[None, :] == vlist_j[:, None], axis=0)
-        self.imm = self.imm._replace(mask=self.imm.mask & ~is_victim)
-        w.points, w.pair_mask = window_ops.post_ba_update(
-            w.points, w.pair_mask, jnp.zeros_like(w.pair_mask))
-
     def _kf_fused_tail(self, newest_slot: int, snap) -> np.ndarray:
         """Single-sync visual keyframe tail: device victim selection +
         point marginalization + drops (ba.marg_fused), one blocking fetch,
@@ -1284,6 +1132,100 @@ class FullSystem:
 
         self._n_active = float(n_post)
         self._apply_marg_host(vlist, HM_np, bM_np, pts_new_d, pm_new_d)
+        return pose_pack_np
+
+    def _kf_fused_tail_vio(self, newest_slot: int, snap) -> np.ndarray:
+        """Single-sync EXTENDED (visual-inertial) keyframe tail: one fused
+        device program (vio_ba.vio_marg_fused) + one blocking fetch, then
+        the host float64 prior algebra and delayed-log events. Replaces
+        the two-fetch stats/marg flow (each fetch is a tunnel round
+        trip)."""
+        w = self.win
+        cfg = self.cfg
+        imu = self.imu
+        F = cfg.f_max
+
+        def dispatch():
+            slots = w.slots_by_age()
+            age_rank = np.full(F, -1, np.int32)
+            for r_, s_ in enumerate(slots):
+                age_rank[s_] = r_
+            n_drop = max(0, len(slots) - cfg.max_frames) \
+                if len(slots) > 2 else 0
+            base = ba.BAProblem(
+                frames=w.frames, points=w.points, calib=w.calib,
+                calib0=w.calib0, HM=jnp.asarray(w.HM, jnp.float32),
+                bM0=jnp.asarray(w.bM0, jnp.float32),
+                prior_diag=jnp.asarray(w.prior_diag),
+                pair_mask=w.pair_mask)
+            vproblem = vio_ba.VIOProblem(
+                base=base, states=imu.states, pairs=imu.device_pairs(),
+                HM=jnp.asarray(imu.HM, jnp.float32),
+                bM0=jnp.asarray(imu.bM0, jnp.float32),
+                prior_diag=self._ext_prior_diag(),
+                R_cb=imu.R_cb, t_cb=imu.t_cb, imu_on=jnp.asarray(True))
+            vp, images = vproblem, w.images
+            if self.placer is not None:
+                vp = self.placer.place_vio(vproblem)
+                images = self.placer.place_images(w.images)
+            out = vio_ba.vio_marg_fused_jit(
+                vp, images, jnp.asarray(age_rank),
+                jnp.asarray(n_drop, jnp.int32), newest_slot)
+            if self.placer is not None:
+                out = self.placer.gather(out)
+            (vlist_d, HM_d, bM_d, foldH_d, foldb_d, pts_d, pm_d,
+             n_pre_d, n_post_d) = out
+            st = imu.states
+            fej_dev = (w.frames.R0_cw, w.frames.t0_cw, w.frames.aff0,
+                       st.v0, st.bg0, st.ba0, st.s_log0, st.g20)
+            with TimeMeasurement("kf_sync_stats"):
+                fetched = jax.device_get(
+                    (vlist_d, HM_d, bM_d, foldH_d, foldb_d, n_pre_d,
+                     n_post_d, window_ops.kf_pose_pack(w.frames),
+                     fej_dev, st))
+            return fetched, (pts_d, pm_d)
+
+        fetched, (pts_d, pm_d) = dispatch()
+        (vlist, HM_np, bM_np, foldH, foldb, n_pre, n_post, pose_pack_np,
+         fej_np, st_host) = fetched
+        if self._n_active > 60 and \
+                float(n_pre) < max(40.0, 0.15 * self._n_active):
+            # The BA flagged (nearly) the whole map as outliers — a
+            # diverged optimization, not a map update. Revert it entirely
+            # (the reference aborts via initFailed/reset).
+            w.frames, w.points, w.pair_mask, w.calib = snap[:4]
+            if snap[4] is not None:
+                imu.states = snap[4]
+            self.calib = w.calib
+            w.frames = window_ops.set_fej_current(w.frames, newest_slot)
+            fetched, (pts_d, pm_d) = dispatch()
+            (vlist, HM_np, bM_np, foldH, foldb, n_pre, n_post,
+             pose_pack_np, fej_np, st_host) = fetched
+
+        self._kf_st_host = st_host
+        self._n_active = float(n_post)
+        victims = [int(s) for s in vlist if s >= 0]
+        with TimeMeasurement("marginalize"):
+            w.points, w.pair_mask = pts_d, pm_d
+            HM_add_np = np.asarray(HM_np, np.float64)
+            bM_add_np = np.asarray(bM_np, np.float64)
+            imu.HM = imu.HM + HM_add_np
+            imu.bM0 = imu.bM0 + bM_add_np
+            if victims:
+                self._vio_event_quad = (HM_add_np, bM_add_np)
+                self._vio_marginalize_frames(
+                    victims, fold_np=(foldH, foldb), fej_np=fej_np)
+                self._vio_event_quad = None
+                for s_ in victims:
+                    w.pyramids[s_] = None
+                    w.slot_frame_id[s_] = None
+                vlist_j = jnp.asarray(np.asarray(vlist, np.int32))
+                is_victim = jnp.any(
+                    self.imm.host[None, :] == vlist_j[:, None], axis=0)
+                self.imm = self.imm._replace(
+                    mask=self.imm.mask & ~is_victim)
+            w.points, w.pair_mask = window_ops.post_ba_update(
+                w.points, w.pair_mask, jnp.zeros_like(w.pair_mask))
         return pose_pack_np
 
     def _dispatch_marg_fused(self, newest_slot: int):

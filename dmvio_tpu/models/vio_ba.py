@@ -484,6 +484,46 @@ marginalize_points_ext_jit = jax.jit(
     marginalize_points_ext, static_argnames="F")
 
 
+def vio_marg_fused(problem: VIOProblem, images: jnp.ndarray,
+                   age_rank: jnp.ndarray, n_drop: jnp.ndarray,
+                   newest_slot):
+    """The VIO keyframe marginalization tail as ONE device program, so the
+    whole extended keyframe pipeline costs a single blocking fetch (the
+    VIO twin of ba.marg_fused; each fetch is a full tunnel round trip):
+    device victim selection, extended point-marginalization fold, the
+    victims' IMU pair-factor fold (victim-touching pairs selected on
+    device), and the point drops. With n_drop == 0 everything degenerates
+    to zeros/no-ops — one compilation covers every keyframe.
+
+    Returns (vlist [F], HM_add, bM_add, fold_H, fold_b, points_new,
+    pair_mask_new, n_active_pre, n_active_post)."""
+    from dmvio_tpu.models import ba as ba_mod
+    from dmvio_tpu.models import window_ops
+
+    base = problem.base
+    F = base.frames.mask.shape[0]
+    vlist = ba_mod.select_victims(base.frames, age_rank, n_drop,
+                                  newest_slot)
+    hosted, marg_pts, pm_cleared = window_ops.victims_masks(
+        base.points, base.pair_mask, vlist)
+    HM_add, bM_add = marginalize_points_ext(problem, images, marg_pts, F)
+    is_v_i = jnp.any(problem.pairs.i[:, None] == vlist[None, :], axis=1)
+    is_v_j = jnp.any(problem.pairs.j[:, None] == vlist[None, :], axis=1)
+    sel = problem.pairs.valid & (is_v_i | is_v_j)
+    fold_H, fold_b = fold_pairs_into_prior(
+        base.frames, problem.states, problem.pairs, problem.R_cb,
+        problem.t_cb, base.calib, base.calib0, F, sel)
+    n_pre = jnp.sum(base.points.mask.astype(jnp.float32))
+    points_new, pm_new = window_ops.drop_points_mask(
+        base.points, pm_cleared, hosted)
+    n_post = jnp.sum(points_new.mask.astype(jnp.float32))
+    return (vlist, HM_add, bM_add, fold_H, fold_b, points_new, pm_new,
+            n_pre, n_post)
+
+
+vio_marg_fused_jit = jax.jit(vio_marg_fused)
+
+
 def fold_pairs_into_prior(frames: BAFrames, states: VIOStates,
                           pairs: IMUPairs, R_cb, t_cb,
                           calib: Calib, calib0, F: int,
