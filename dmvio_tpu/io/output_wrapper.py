@@ -45,6 +45,10 @@ class Output3DWrapper:
         """VISUAL_INIT / VISUAL_ONLY / VISUAL_INERTIAL / RESETTING
         (publishSystemStatus)."""
 
+    def publish_frame_energy_th(self, frame_id: int, th: float) -> None:
+        """Adaptive photometric outlier threshold of the newest keyframe
+        (setNewFrameEnergyTH, FullSystemOptimize.cpp:96-147)."""
+
     def publish_transform_dso_to_imu(self, s: float,
                                      g2: np.ndarray) -> None:
         """Current metric transform (publishTransformDSOToIMU)."""
@@ -97,6 +101,14 @@ class StateStreamWriter(Output3DWrapper):
         self._bias = open(prefix + "babiasdso.txt", "w")
         self._grav = open(prefix + "bagravdir.txt", "w")
         self._vel = open(prefix + "bavel.txt", "w")
+        # Adaptive per-keyframe energy threshold (setNewFrameEnergyTH,
+        # FullSystemOptimize.cpp:96-147) — ours, the reference only logs
+        # it to stdout under debug.
+        self._energyth = open(prefix + "energyth.txt", "w")
+
+    def publish_frame_energy_th(self, frame_id, th):
+        self._energyth.write(f"{int(frame_id)} {float(th):.8g}\n")
+        self._energyth.flush()
 
     def publish_imu_state(self, timestamp, scale, bias_gyro, bias_acc,
                           velocity, gravity_dir):

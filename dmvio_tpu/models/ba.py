@@ -60,6 +60,38 @@ class BAResult(NamedTuple):
     idepth_new: jnp.ndarray      # [F, P] target-frame inverse depths
     u_new: jnp.ndarray           # [F, P]
     v_new: jnp.ndarray           # [F, P]
+    frame_th: jnp.ndarray        # [F] adaptive per-frame energy threshold
+
+
+# Adaptive frame energy threshold constants (settings.cpp:156-159 and the
+# IMU cap, IMUSettings.h:59).
+FRAME_TH_QUANTILE = 0.7          # setting_frameEnergyTHN
+FRAME_TH_FAC_MEDIAN = 1.5        # setting_frameEnergyTHFacMedian
+FRAME_TH_CONST_WEIGHT = 0.5      # setting_frameEnergyTHConstWeight
+FRAME_TH_CONST = 26.0            # sqrt-domain constant floor
+FRAME_TH_MAX = 5000.0            # maxFrameEnergyThreshold
+
+
+def frame_energy_th(pair_energy: jnp.ndarray,
+                    pair_ok: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame adaptive outlier threshold from the residual-energy
+    distribution (setNewFrameEnergyTH, FullSystemOptimize.cpp:96-147):
+    sqrt of the 0.7-quantile of the frame's active 8-pixel pattern
+    energies, blended 50/50 with the constant 26, squared, capped at the
+    IMU integration's 5000 (IMUIntegration.cpp:365-373). Frames with no
+    active pairs fall back to the fixed 12^2 * patternNum."""
+    F, P = pair_energy.shape
+    e = jnp.where(pair_ok, pair_energy, jnp.inf)
+    order = jnp.sort(e, axis=1)
+    n = jnp.sum(pair_ok.astype(jnp.int32), axis=1)
+    idx = jnp.clip((FRAME_TH_QUANTILE * n.astype(jnp.float32))
+                   .astype(jnp.int32), 0, P - 1)
+    nth = jnp.take_along_axis(order, idx[:, None], axis=1)[:, 0]
+    s = jnp.sqrt(jnp.maximum(nth, 0.0))
+    th = (FRAME_TH_CONST * FRAME_TH_CONST_WEIGHT
+          + s * FRAME_TH_FAC_MEDIAN * (1.0 - FRAME_TH_CONST_WEIGHT)) ** 2
+    th = jnp.minimum(th, FRAME_TH_MAX)
+    return jnp.where(n > 0, th, OUTLIER_TH * PATTERN_NUM)
 
 
 def _prior_energy(delta, HM, bM0, prior_diag):
@@ -193,21 +225,30 @@ def optimize(problem: BAProblem, images: jnp.ndarray,
 
     out = jax.lax.while_loop(cond, body, init)
 
-    # Outlier classification on the final linearization (reference
-    # applyRes / setNewFrameEnergyTH semantics, simplified: per-pair robust
-    # energy thresholded against the global outlier energy). Recomputed at
+    # Outlier classification on the final linearization. Recomputed at
     # the accepted state — cheaper than carrying the [F,P,K] linearization
-    # through the loop (see _LoopState).
+    # through the loop (see _LoopState). The threshold is ADAPTIVE per
+    # frame (setNewFrameEnergyTH, FullSystemOptimize.cpp:96-147): the 0.7
+    # quantile of the frame's active pair energies blended with the
+    # constant floor, squared; a pair is an outlier above the LOOSER of
+    # its host/target thresholds (Residuals.cpp:262). Deviation from the
+    # reference: thresholds are recomputed for every window frame each
+    # keyframe (the reference freezes each frame's threshold at its own
+    # keyframe time) — the batched recompute is free here and adapts old
+    # frames to exposure/texture drift.
     lin_f = lin_at(out.frames, out.points, out.calib)
     pair_ok = problem.pair_mask & problem.points.mask[None, :]
-    th = OUTLIER_TH * PATTERN_NUM
-    outlier = pair_ok & ((lin_f.energy > th) | lin_f.oob)
+    frame_th = frame_energy_th(lin_f.energy, pair_ok)
+    th_pair = jnp.maximum(frame_th[:, None],
+                          frame_th[problem.points.host][None, :])
+    outlier = pair_ok & ((lin_f.energy > th_pair) | lin_f.oob)
 
     return BAResult(
         frames=out.frames, points=out.points, calib=out.calib,
         energy=out.photo_energy, iters=out.it,
         pair_outlier=outlier, pair_oob=lin_f.oob, pair_energy=lin_f.energy,
         idepth_new=lin_f.idepth_new, u_new=lin_f.u_new, v_new=lin_f.v_new,
+        frame_th=frame_th,
     )
 
 

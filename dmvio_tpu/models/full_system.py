@@ -130,6 +130,8 @@ class FullSystem:
         self._last_pose_dev = None   # device pose history for candidates
         self._prev_pose_dev = None
         self._last_exposure = None   # previous frame's shutter time
+        self._frame_th_dev = None    # adaptive energy thresholds (device)
+        self._frame_th_np = None     # ... host mirror (fused-tail fetch)
         # Distributed BA: the point-axis programs (window BA, point
         # marginalization) run sharded over a device mesh; everything else
         # stays on the home device (parallel/dist_ba.Placer).
@@ -1043,6 +1045,7 @@ class FullSystem:
             result = ba.optimize_jit(base, images, max_iters=max_iters)
             if self.placer is not None:
                 result = self.placer.gather(result)
+        self._frame_th_dev = result.frame_th
         w.frames = result.frames
         w.points = result.points
         w.calib = result.calib
@@ -1115,10 +1118,11 @@ class FullSystem:
             with TimeMeasurement("kf_sync_stats"):
                 fetched = jax.device_get(
                     (vlist_d, HM_d, bM_d, n_pre_d, n_post_d,
-                     window_ops.kf_pose_pack(w.frames)))
-            return fetched, (pts_d, pm_d)
+                     window_ops.kf_pose_pack(w.frames),
+                     self._frame_th_dev))
+            return fetched[:-1], (pts_d, pm_d), fetched[-1]
 
-        fetched, (pts_new_d, pm_new_d) = dispatch()
+        fetched, (pts_new_d, pm_new_d), self._frame_th_np = dispatch()
         vlist, HM_np, bM_np, n_pre, n_post, pose_pack_np = fetched
         if self._n_active > 60 and \
                 float(n_pre) < max(40.0, 0.15 * self._n_active):
@@ -1127,7 +1131,7 @@ class FullSystem:
             w.frames, w.points, w.pair_mask, w.calib = snap[:4]
             self.calib = w.calib
             w.frames = window_ops.set_fej_current(w.frames, newest_slot)
-            fetched, (pts_new_d, pm_new_d) = dispatch()
+            fetched, (pts_new_d, pm_new_d), self._frame_th_np = dispatch()
             vlist, HM_np, bM_np, n_pre, n_post, pose_pack_np = fetched
 
         self._n_active = float(n_post)
@@ -1182,10 +1186,10 @@ class FullSystem:
                 fetched = jax.device_get(
                     (vlist_d, HM_d, bM_d, foldH_d, foldb_d, n_pre_d,
                      n_post_d, window_ops.kf_pose_pack(w.frames),
-                     fej_dev, st))
-            return fetched, (pts_d, pm_d)
+                     fej_dev, st, self._frame_th_dev))
+            return fetched[:-1], (pts_d, pm_d), fetched[-1]
 
-        fetched, (pts_d, pm_d) = dispatch()
+        fetched, (pts_d, pm_d), self._frame_th_np = dispatch()
         (vlist, HM_np, bM_np, foldH, foldb, n_pre, n_post, pose_pack_np,
          fej_np, st_host) = fetched
         if self._n_active > 60 and \
@@ -1198,7 +1202,7 @@ class FullSystem:
                 imu.states = snap[4]
             self.calib = w.calib
             w.frames = window_ops.set_fej_current(w.frames, newest_slot)
-            fetched, (pts_d, pm_d) = dispatch()
+            fetched, (pts_d, pm_d), self._frame_th_np = dispatch()
             (vlist, HM_np, bM_np, foldH, foldb, n_pre, n_post,
              pose_pack_np, fej_np, st_host) = fetched
 
@@ -1330,7 +1334,8 @@ class FullSystem:
         self.ref_kf_slot = slot
         self.ref_kf_id = fid
         fetch_refs = (vlist_d, HM_d, bM_d, n_pre_d, n_post_d,
-                      window_ops.kf_pose_pack(w.frames), rmse_d)
+                      window_ops.kf_pose_pack(w.frames), rmse_d,
+                      self._frame_th_dev)
         self._kf_finalize = dict(
             slot=slot, fid=fid, snap=snap, prev_ref=prev_ref,
             kf_count=self.stats_kf,
@@ -1348,11 +1353,11 @@ class FullSystem:
         slot, fid = kfp["slot"], kfp["fid"]
         if prefetched is not None:
             (vlist, HM_np, bM_np, n_pre, n_post, pose_pack_np,
-             rmse_np) = prefetched
+             rmse_np, self._frame_th_np) = prefetched
         else:
             with TimeMeasurement("kf_finalize_fetch"):
-                (vlist, HM_np, bM_np, n_pre, n_post,
-                 pose_pack_np, rmse_np) = kfp["future"].result()
+                (vlist, HM_np, bM_np, n_pre, n_post, pose_pack_np,
+                 rmse_np, self._frame_th_np) = kfp["future"].result()
         if kfp["kf_count"] <= 4:
             th = {2: 20.0, 3: 13.0, 4: 9.0}.get(int(kfp["kf_count"]))
             if th is not None and (not np.isfinite(float(rmse_np))
@@ -1408,9 +1413,13 @@ class FullSystem:
                 img_np = img_np[0]
             depth_pack = (np.asarray(u_np)[sel], np.asarray(v_np)[sel],
                           np.asarray(d_np)[sel], img_np)
+        th_new = (float(self._frame_th_np[self.ref_kf_slot])
+                  if self._frame_th_np is not None else None)
         for w_ in self.output_wrappers:
             w_.publish_keyframes(dict(self.kf_poses))
             w_.publish_graph(conn)
+            if th_new is not None:
+                w_.publish_frame_energy_th(self.ref_kf_id, th_new)
             if depth_pack is not None:
                 w_.push_depth_image(self.ref_kf_id, depth_pack[0],
                                     depth_pack[1], depth_pack[2],

@@ -294,6 +294,7 @@ class VIOResult(NamedTuple):
     pair_energy: jnp.ndarray
     vis_rmse: jnp.ndarray     # photometric RMSE at solve entry
     dyn_weight: jnp.ndarray   # dynamic DSO weight applied (<=1)
+    frame_th: jnp.ndarray     # [F] adaptive per-frame energy threshold
 
 
 def optimize(problem: VIOProblem, images: jnp.ndarray,
@@ -452,14 +453,19 @@ def optimize(problem: VIOProblem, images: jnp.ndarray,
     # (cheaper than carrying the [F,P,K] arrays through the loop).
     lin_f = lin_vis(out.frames, out.points, out.calib)
     pair_ok = base.pair_mask & base.points.mask[None, :]
-    th = residuals.OUTLIER_TH * 8
-    outlier = pair_ok & ((lin_f.energy > th) | lin_f.oob)
+    # Adaptive per-frame energy threshold (setNewFrameEnergyTH parity —
+    # see ba.frame_energy_th; outlier above the looser of host/target,
+    # Residuals.cpp:262).
+    frame_th = ba_mod.frame_energy_th(lin_f.energy, pair_ok)
+    th_pair = jnp.maximum(frame_th[:, None],
+                          frame_th[base.points.host][None, :])
+    outlier = pair_ok & ((lin_f.energy > th_pair) | lin_f.oob)
     return VIOResult(
         frames=out.frames, points=out.points, calib=out.calib,
         states=out.states, energy=jnp.sum(lin_f.energy),
         imu_energy=out.imu_energy, iters=out.it,
         pair_outlier=outlier, pair_energy=lin_f.energy,
-        vis_rmse=rmse0, dyn_weight=dyn,
+        vis_rmse=rmse0, dyn_weight=dyn, frame_th=frame_th,
     )
 
 

@@ -11,6 +11,9 @@ jax.config before any backend is initialized.
 
 import os
 
+# Persistent-cache writes have segfaulted XLA:CPU late in the suite (large
+# fused executable + many prior compiles); tests run with the cache off.
+os.environ["DMVIO_XLA_CACHE"] = "off"
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ["XLA_FLAGS"] = (

@@ -187,3 +187,37 @@ def test_point_marginalization_preserves_frame_step():
     np.testing.assert_allclose(
         np.asarray(dx_red), np.asarray(dx_full), rtol=5e-2, atol=5e-4
     )
+
+
+def test_frame_energy_th_adaptive():
+    """setNewFrameEnergyTH parity (FullSystemOptimize.cpp:96-147): the
+    threshold follows each frame's own residual-energy distribution, so a
+    frame whose energies are uniformly elevated (exposure jump, texture
+    change) keeps its inliers where a fixed threshold would drop them."""
+    import numpy as np
+
+    from dmvio_tpu.models import ba
+    from dmvio_tpu.ops.residuals import OUTLIER_TH
+
+    rng = np.random.default_rng(0)
+    F, P = 4, 256
+    pair_ok = np.ones((F, P), bool)
+    base = rng.uniform(5.0, 50.0, (F, P)).astype(np.float32)
+    # Frame 2: uniformly 40x energies (still a consistent model fit).
+    base[2] *= 40.0
+    th = np.asarray(ba.frame_energy_th(jnp.asarray(base),
+                                       jnp.asarray(pair_ok)))
+    assert th.shape == (F,)
+    # Normal frames: threshold above nearly all their energies.
+    assert (base[0] < th[0]).mean() > 0.95
+    # The elevated frame's threshold scales up; a fixed 12^2*8 threshold
+    # would have dropped most of its pairs.
+    assert th[2] > th[0]
+    assert (base[2] < th[2]).mean() > 0.5
+    assert (base[2] > OUTLIER_TH * 8).mean() > 0.4   # fixed TH would drop
+    # Hard cap (IMUSettings.h:59) and empty-frame fallback.
+    assert th.max() <= 5000.0 + 1e-3
+    pair_ok[1] = False
+    th2 = np.asarray(ba.frame_energy_th(jnp.asarray(base),
+                                        jnp.asarray(pair_ok)))
+    assert abs(th2[1] - OUTLIER_TH * 8) < 1e-3
