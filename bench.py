@@ -181,7 +181,7 @@ def bench_vio():
     from dmvio_tpu.utils import synthetic
 
     H = W = 512
-    N_WARM_MAX = 72
+    N_WARM_MAX = 100
     N_MEAS = 60
     seq = synthetic.generate_vio_sequence(
         n_frames=N_WARM_MAX + N_MEAS, frame_dt=0.05, h=H, w=W,
@@ -203,13 +203,20 @@ def bench_vio():
         return (seq["acc"][s0:s1], seq["gyr"][s0:s1],
                 np.full(s1 - s0, seq["imu_dt"], np.float32))
 
+    # Warm until EVERY steady-state program has compiled: activation is
+    # not enough — the first PGBA cycle (snapshot + active-event programs)
+    # and ~2 post-activation keyframe tails all first-compile AFTER the
+    # phase flips, and a first-use compile inside the timed region costs
+    # seconds (measured: the same region is 10.8 fps fully-warm vs 4.9
+    # with activation-only warmup).
     n_warm = 0
     for i in range(N_WARM_MAX):
         fs.add_frame(seq["images"][i], float(seq["timestamps"][i]),
                      imu_data=chunk(i))
         n_warm += 1
-        if fs.initialized and fs.stats_kf >= cfg.max_frames + 2 \
-                and fs.imu.phase == imu_system.ACTIVE and n_warm >= 24:
+        if fs.initialized and fs.imu.phase == imu_system.ACTIVE \
+                and getattr(fs.imu, "pgba_count", 0) >= 1 \
+                and fs.stats_kf >= cfg.max_frames + 4 and n_warm >= 48:
             break
     t0 = time.perf_counter()
     for i in range(n_warm, n_warm + N_MEAS):
@@ -241,6 +248,9 @@ def main():
 
     extra = {}
     wd.partial = (fps, fps / BASELINE_FPS, extra)
+    if os.environ.get("BENCH_VERBOSE"):
+        from dmvio_tpu.utils import timing as _timing
+        _timing.reset()   # verbose stats then cover the VIO stage only
     if os.environ.get("BENCH_VIO", "1") != "0":
         try:
             vio_fps, phase = bench_vio()

@@ -674,6 +674,7 @@ class IMUSystem:
         if self.kf_since_pgba < every or len(self.delayed_log.events) < 8:
             return False
         self.kf_since_pgba = 0
+        self.pgba_count = getattr(self, "pgba_count", 0) + 1
         with TimeMeasurement("pgba_snapshot"):
             win = self.snapshot_kf_states(frames_dev, slot_fids,
                                           use_fej=False)
