@@ -132,6 +132,7 @@ class FullSystem:
         self._last_exposure = None   # previous frame's shutter time
         self._frame_th_dev = None    # adaptive energy thresholds (device)
         self._frame_th_np = None     # ... host mirror (fused-tail fetch)
+        self._rt_chunks_since_kf = None  # replay buffer (deferred VIO KF)
         # Distributed BA: the point-axis programs (window BA, point
         # marginalization) run sharded over a device mesh; everything else
         # stays on the home device (parallel/dist_ba.Placer).
@@ -296,10 +297,15 @@ class FullSystem:
             pending.append(imu_chunk["pre_np"] if imu_chunk else None)
             preview = self.imu.predict_preview(pending)
             if preview is not None:
-                # Host ref pose is always fresh in VIO mode (keyframes run
-                # synchronously at consume), so the relative prediction and
-                # the 17-dof prior can be built on host like the serial path.
-                R_ref, t_ref = self.ref_pose_np
+                # Host ref pose: fresh after finalize; while a deferred
+                # keyframe's optimized pose is still in flight, its
+                # TRACKED (pre-BA) pose stands in — the BA correction is
+                # 1-2 degrees, well inside the prior's tolerance.
+                if self._kf_finalize is not None and \
+                        self._kf_finalize.get("ref_pose_approx") is not None:
+                    R_ref, t_ref = self._kf_finalize["ref_pose_approx"]
+                else:
+                    R_ref, t_ref = self.ref_pose_np
                 R_rel = preview.R_cw @ np.asarray(R_ref, np.float64).T
                 t_rel = preview.t_cw - R_rel @ np.asarray(t_ref, np.float64)
                 pred_pose = (R_rel.astype(np.float32),
@@ -482,6 +488,14 @@ class FullSystem:
             chunk = p.get("imu_chunk")
             if chunk is not None:
                 self.imu.predict_coarse(chunk["pre_np"])
+                if self._kf_finalize is not None \
+                        and self._rt_chunks_since_kf is not None:
+                    # A deferred keyframe's reseed will rewind the belief
+                    # to the keyframe; keep this chunk for the replay.
+                    # (In practice the drain finalizes before consuming
+                    # any post-keyframe frame, so this list stays empty —
+                    # insurance for the rescue/lost orderings.)
+                    self._rt_chunks_since_kf.append(chunk["pre_np"])
             if pk.any_valid:
                 if self.imu.phase == imu_system.ACTIVE:
                     if p.get("had_prior"):
@@ -521,17 +535,21 @@ class FullSystem:
                 self.imm = self._rt_queue[0]["imm_before"]
             with TimeMeasurement("keyframe_total"):
                 if self.imu is not None:
-                    # Inertial keyframes run the FULL synchronous tail (IMU
-                    # pair registration, VIO marginalization, init machine,
-                    # PGBA seam) — host pose caches stay fresh, so no
-                    # deferred finalize exists in VIO mode. The reference's
-                    # mapping thread is likewise synchronous per keyframe
-                    # w.r.t. the inertial bookkeeping
-                    # (IMUIntegration.cpp:228-330).
-                    self._make_keyframe(p["pyr"], p["ts"], p["fid"],
-                                        p["R_cw"], p["t_cw"], p["aff"],
-                                        shell_idx=p["shell_idx"],
-                                        upto_fid=p["fid"])
+                    # Deferred inertial keyframe: device half now, host
+                    # half (f64 priors, delayed log, init machine, PGBA,
+                    # coarse reseed) at finalize — the keyframe tail
+                    # overlaps in-flight tracking like the reference's
+                    # mapping thread (FullSystem.cpp:1124-1320,
+                    # IMUIntegration.cpp:228-330). The tracked (pre-BA)
+                    # pose of the keyframe serves as the approximate host
+                    # ref pose for IMU priors until the optimized pose
+                    # lands with the finalize fetch.
+                    self._make_keyframe_rt_vio(
+                        p["pyr"], p["ts"], p["fid"],
+                        p["R_cw"], p["t_cw"], p["aff"],
+                        shell_idx=p["shell_idx"], upto_fid=p["fid"],
+                        ref_pose_approx=(R_cw_np.astype(np.float32),
+                                         t_cw_np.astype(np.float32)))
                 else:
                     self._make_keyframe_rt(p["pyr"], p["ts"], p["fid"],
                                            p["R_cw"], p["t_cw"], p["aff"],
@@ -658,6 +676,7 @@ class FullSystem:
         self._consec_lost = 0
         self._rt_queue = []       # in-flight frames belong to the dead map
         self._kf_finalize = None  # so does the deferred keyframe tail
+        self._rt_chunks_since_kf = None
         self._last_pose_dev = None
         self._prev_pose_dev = None
         self.win = window.Window(self.calib, self.h, self.w, self.cfg)
@@ -1138,74 +1157,59 @@ class FullSystem:
         self._apply_marg_host(vlist, HM_np, bM_np, pts_new_d, pm_new_d)
         return pose_pack_np
 
-    def _kf_fused_tail_vio(self, newest_slot: int, snap) -> np.ndarray:
-        """Single-sync EXTENDED (visual-inertial) keyframe tail: one fused
-        device program (vio_ba.vio_marg_fused) + one blocking fetch, then
-        the host float64 prior algebra and delayed-log events. Replaces
-        the two-fetch stats/marg flow (each fetch is a tunnel round
-        trip)."""
+    def _dispatch_vio_tail(self, newest_slot: int):
+        """Device dispatch of the fused EXTENDED keyframe tail (no fetch):
+        vio_ba.vio_marg_fused + the FEJ/state/pose references that ride
+        the single result fetch. Returns (refs, pts_d, pm_d) where `refs`
+        is the tuple to fetch (blocking or via the fetch pool)."""
         w = self.win
         cfg = self.cfg
         imu = self.imu
         F = cfg.f_max
+        slots = w.slots_by_age()
+        age_rank = np.full(F, -1, np.int32)
+        for r_, s_ in enumerate(slots):
+            age_rank[s_] = r_
+        n_drop = max(0, len(slots) - cfg.max_frames) \
+            if len(slots) > 2 else 0
+        base = ba.BAProblem(
+            frames=w.frames, points=w.points, calib=w.calib,
+            calib0=w.calib0, HM=jnp.asarray(w.HM, jnp.float32),
+            bM0=jnp.asarray(w.bM0, jnp.float32),
+            prior_diag=jnp.asarray(w.prior_diag),
+            pair_mask=w.pair_mask)
+        vproblem = vio_ba.VIOProblem(
+            base=base, states=imu.states, pairs=imu.device_pairs(),
+            HM=jnp.asarray(imu.HM, jnp.float32),
+            bM0=jnp.asarray(imu.bM0, jnp.float32),
+            prior_diag=self._ext_prior_diag(),
+            R_cb=imu.R_cb, t_cb=imu.t_cb, imu_on=jnp.asarray(True))
+        vp, images = vproblem, w.images
+        if self.placer is not None:
+            vp = self.placer.place_vio(vproblem)
+            images = self.placer.place_images(w.images)
+        out = vio_ba.vio_marg_fused_jit(
+            vp, images, jnp.asarray(age_rank),
+            jnp.asarray(n_drop, jnp.int32), newest_slot)
+        if self.placer is not None:
+            out = self.placer.gather(out)
+        (vlist_d, HM_d, bM_d, foldH_d, foldb_d, pts_d, pm_d,
+         n_pre_d, n_post_d) = out
+        st = imu.states
+        fej_dev = (w.frames.R0_cw, w.frames.t0_cw, w.frames.aff0,
+                   st.v0, st.bg0, st.ba0, st.s_log0, st.g20)
+        refs = (vlist_d, HM_d, bM_d, foldH_d, foldb_d, n_pre_d,
+                n_post_d, window_ops.kf_pose_pack(w.frames),
+                fej_dev, st, self._frame_th_dev)
+        return refs, pts_d, pm_d
 
-        def dispatch():
-            slots = w.slots_by_age()
-            age_rank = np.full(F, -1, np.int32)
-            for r_, s_ in enumerate(slots):
-                age_rank[s_] = r_
-            n_drop = max(0, len(slots) - cfg.max_frames) \
-                if len(slots) > 2 else 0
-            base = ba.BAProblem(
-                frames=w.frames, points=w.points, calib=w.calib,
-                calib0=w.calib0, HM=jnp.asarray(w.HM, jnp.float32),
-                bM0=jnp.asarray(w.bM0, jnp.float32),
-                prior_diag=jnp.asarray(w.prior_diag),
-                pair_mask=w.pair_mask)
-            vproblem = vio_ba.VIOProblem(
-                base=base, states=imu.states, pairs=imu.device_pairs(),
-                HM=jnp.asarray(imu.HM, jnp.float32),
-                bM0=jnp.asarray(imu.bM0, jnp.float32),
-                prior_diag=self._ext_prior_diag(),
-                R_cb=imu.R_cb, t_cb=imu.t_cb, imu_on=jnp.asarray(True))
-            vp, images = vproblem, w.images
-            if self.placer is not None:
-                vp = self.placer.place_vio(vproblem)
-                images = self.placer.place_images(w.images)
-            out = vio_ba.vio_marg_fused_jit(
-                vp, images, jnp.asarray(age_rank),
-                jnp.asarray(n_drop, jnp.int32), newest_slot)
-            if self.placer is not None:
-                out = self.placer.gather(out)
-            (vlist_d, HM_d, bM_d, foldH_d, foldb_d, pts_d, pm_d,
-             n_pre_d, n_post_d) = out
-            st = imu.states
-            fej_dev = (w.frames.R0_cw, w.frames.t0_cw, w.frames.aff0,
-                       st.v0, st.bg0, st.ba0, st.s_log0, st.g20)
-            with TimeMeasurement("kf_sync_stats"):
-                fetched = jax.device_get(
-                    (vlist_d, HM_d, bM_d, foldH_d, foldb_d, n_pre_d,
-                     n_post_d, window_ops.kf_pose_pack(w.frames),
-                     fej_dev, st, self._frame_th_dev))
-            return fetched[:-1], (pts_d, pm_d), fetched[-1]
-
-        fetched, (pts_d, pm_d), self._frame_th_np = dispatch()
+    def _apply_vio_tail_host(self, fetched, pts_d, pm_d) -> np.ndarray:
+        """Host half of the fused VIO tail: float64 prior algebra,
+        delayed-log events, slot bookkeeping. Returns the pose pack."""
+        w = self.win
+        imu = self.imu
         (vlist, HM_np, bM_np, foldH, foldb, n_pre, n_post, pose_pack_np,
-         fej_np, st_host) = fetched
-        if self._n_active > 60 and \
-                float(n_pre) < max(40.0, 0.15 * self._n_active):
-            # The BA flagged (nearly) the whole map as outliers — a
-            # diverged optimization, not a map update. Revert it entirely
-            # (the reference aborts via initFailed/reset).
-            w.frames, w.points, w.pair_mask, w.calib = snap[:4]
-            if snap[4] is not None:
-                imu.states = snap[4]
-            self.calib = w.calib
-            w.frames = window_ops.set_fej_current(w.frames, newest_slot)
-            fetched, (pts_d, pm_d), self._frame_th_np = dispatch()
-            (vlist, HM_np, bM_np, foldH, foldb, n_pre, n_post,
-             pose_pack_np, fej_np, st_host) = fetched
-
+         fej_np, st_host, self._frame_th_np) = fetched
         self._kf_st_host = st_host
         self._n_active = float(n_post)
         victims = [int(s) for s in vlist if s >= 0]
@@ -1231,6 +1235,35 @@ class FullSystem:
             w.points, w.pair_mask = window_ops.post_ba_update(
                 w.points, w.pair_mask, jnp.zeros_like(w.pair_mask))
         return pose_pack_np
+
+    def _kf_fused_tail_vio(self, newest_slot: int, snap) -> np.ndarray:
+        """Single-sync EXTENDED (visual-inertial) keyframe tail: one fused
+        device program (vio_ba.vio_marg_fused) + one blocking fetch, then
+        the host float64 prior algebra and delayed-log events. Replaces
+        the two-fetch stats/marg flow (each fetch is a tunnel round
+        trip)."""
+        w = self.win
+        imu = self.imu
+
+        def dispatch():
+            refs, pts_d, pm_d = self._dispatch_vio_tail(newest_slot)
+            with TimeMeasurement("kf_sync_stats"):
+                fetched = jax.device_get(refs)
+            return fetched, pts_d, pm_d
+
+        fetched, pts_d, pm_d = dispatch()
+        if self._n_active > 60 and \
+                float(fetched[5]) < max(40.0, 0.15 * self._n_active):
+            # The BA flagged (nearly) the whole map as outliers — a
+            # diverged optimization, not a map update. Revert it entirely
+            # (the reference aborts via initFailed/reset).
+            w.frames, w.points, w.pair_mask, w.calib = snap[:4]
+            if snap[4] is not None:
+                imu.states = snap[4]
+            self.calib = w.calib
+            w.frames = window_ops.set_fej_current(w.frames, newest_slot)
+            fetched, pts_d, pm_d = dispatch()
+        return self._apply_vio_tail_host(fetched, pts_d, pm_d)
 
     def _dispatch_marg_fused(self, newest_slot: int):
         """Dispatch the fused marg-tail program (no fetch): victim
@@ -1344,11 +1377,153 @@ class FullSystem:
             future=self._fetcher.submit(fetch_refs),
             pts=pts_d, pm=pm_d)
 
+    def _make_keyframe_rt_vio(self, pyr, ts, fid, R_cw, t_cw, aff_new,
+                              shell_idx: int, upto_fid: int,
+                              ref_pose_approx=None) -> None:
+        """Deferred INERTIAL keyframe: the device half (insert, activate,
+        extended BA, fused VIO tail, tracker ref) dispatches now and
+        overlaps in-flight tracking; the host half (f64 priors, delayed
+        log, init machine, PGBA, coarse-filter reseed) runs at finalize —
+        one-plus frames later, like the reference's mapping thread
+        publishing keyframe results while the coarse tracker keeps going
+        (FullSystem.cpp:1124-1320, IMUIntegration.cpp:228-330)."""
+        cfg = self.cfg
+        w = self.win
+        imu = self.imu
+        slot = w.free_frame_slot()
+        prev_slot = self.ref_kf_slot
+        w.insert_frame(slot, fid, pyr, R_cw, t_cw, aff_new)
+        w.set_frame_prior(slot, 0.0, cfg.aff_a_prior, cfg.aff_b_prior)
+        self.shells[shell_idx].is_kf = True
+        self.stats_kf += 1
+        pred_v = (np.asarray(imu.coarse.v)
+                  if imu.coarse is not None else None)
+        # The KF-to-KF chunk stops at this keyframe's frame id: younger
+        # in-flight frames' samples are already buffered and stay.
+        imu.on_new_keyframe(prev_slot, slot, pred_v, upto_fid=upto_fid)
+        with TimeMeasurement("activate"):
+            self._activate_points(slot)
+        snap = (w.frames, w.points, w.pair_mask, w.calib,
+                imu.states if imu.states is not None else None)
+        with TimeMeasurement("ba_optimize"):
+            ba_res = self._run_ba(max_iters=cfg.ba_iters)
+        rmse_d = (self._ba_rmse_dev(ba_res) if self.stats_kf <= 4
+                  else jnp.asarray(0.0, jnp.float32))
+        w.frames = window_ops.set_fej_current(w.frames, slot)
+        self._imu_set_fej(slot)
+        if self._vio_mode():
+            refs, pts_d, pm_d = self._dispatch_vio_tail(slot)
+            kind = "vio"
+        else:
+            out = self._dispatch_marg_fused(slot)
+            vlist_d, HM_d, bM_d, pts_d, pm_d, n_pre_d, n_post_d = out
+            refs = (vlist_d, HM_d, bM_d, n_pre_d, n_post_d,
+                    window_ops.kf_pose_pack(w.frames), self._frame_th_dev)
+            kind = "visual_imu"
+        with TimeMeasurement("tracker_ref"):
+            self._build_tracker_ref_dev(slot)
+        with TimeMeasurement("spawn_immatures"):
+            self._spawn_immatures(slot, pyr)
+        prev_ref = self.ref_kf_id
+        self.ref_kf_slot = slot
+        self.ref_kf_id = fid
+        self._kf_finalize = dict(
+            kind=kind, slot=slot, fid=fid, snap=snap, prev_ref=prev_ref,
+            kf_count=self.stats_kf, ref_pose_approx=ref_pose_approx,
+            future=self._fetcher.submit(refs + (rmse_d,)),
+            pts=pts_d, pm=pm_d)
+        # Chunks consumed while this finalize is pending: replayed after
+        # the coarse-filter reseed so the belief returns to the newest
+        # consumed frame.
+        self._rt_chunks_since_kf = []
+
+    def _finalize_kf_vio(self, kfp) -> None:
+        """Host half of a deferred inertial keyframe."""
+        w = self.win
+        imu = self.imu
+        slot, fid = kfp["slot"], kfp["fid"]
+        with TimeMeasurement("kf_finalize_fetch"):
+            fetched = kfp["future"].result()
+        fetched, rmse_np = fetched[:-1], fetched[-1]
+        if kfp["kf_count"] <= 4:
+            th = {2: 20.0, 3: 13.0, 4: 9.0}.get(int(kfp["kf_count"]))
+            if th is not None and (not np.isfinite(float(rmse_np))
+                                   or float(rmse_np) > th):
+                src = self._rt_queue[-1] if self._rt_queue else None
+                pyr = src["pyr"] if src else self.win.pyramids[slot]
+                self._full_reset(pyr, src["ts"] if src else 0.0,
+                                 src["fid"] if src else fid)
+                return
+        if kfp["kind"] == "vio":
+            n_pre = float(fetched[5])
+        else:
+            n_pre = float(fetched[3])
+        if self._n_active > 60 and n_pre < max(40.0, 0.15 * self._n_active):
+            # Rare divergence revert, one-plus frames late: restore and
+            # redo the tail synchronously.
+            w.frames, w.points, w.pair_mask, w.calib = kfp["snap"][:4]
+            if kfp["snap"][4] is not None:
+                imu.states = kfp["snap"][4]
+            self.calib = w.calib
+            w.frames = window_ops.set_fej_current(w.frames, slot)
+            if kfp["kind"] == "vio":
+                pose_pack_np = self._kf_fused_tail_vio(slot, kfp["snap"])
+            else:
+                pose_pack_np = self._kf_fused_tail(slot, kfp["snap"])
+            self._build_tracker_ref_dev(slot)
+        elif kfp["kind"] == "vio":
+            pose_pack_np = self._apply_vio_tail_host(
+                fetched, kfp["pts"], kfp["pm"])
+        else:
+            (vlist, HM_np, bM_np, _, n_post, pose_pack_np,
+             self._frame_th_np) = fetched
+            self._n_active = float(n_post)
+            self._apply_marg_host(vlist, HM_np, bM_np,
+                                  kfp["pts"], kfp["pm"])
+        pose_pack = self._record_kf_poses(pose_pack_np)
+        self._tracker_ref_host_update(slot, fid, pose_pack_np,
+                                      prev_ref_id=kfp["prev_ref"])
+        for q in self._rt_queue:
+            if q.get("ref_pose") is None:
+                q["ref_pose"] = self.ref_pose_np
+                q["ref_kf_id"] = self.ref_kf_id
+        self._publish_keyframe_events()
+
+        # Inertial phase machine (postBAInit seam), one-plus frames late —
+        # the reference's IMU initializer likewise runs threaded
+        # (IMUInitializerLogic.h threading mode).
+        if imu.phase == imu_system.COARSE_INIT:
+            if imu.try_initialize(self.kf_poses):
+                self._imu_activate(slot)
+        if imu.phase == imu_system.ACTIVE:
+            adopted = imu.maybe_run_pgba(
+                w.frames, w.slot_frame_id,
+                active_event_fn=self._active_visual_event)
+            F_ = self.cfg.f_max
+            R_np = pose_pack[:9 * F_].reshape(F_, 3, 3)[slot]
+            t_np = pose_pack[9 * F_:12 * F_].reshape(F_, 3)[slot]
+            st_pref = getattr(self, "_kf_st_host", None)
+            # st arrives with the vio fetch; after a PGBA adoption (new
+            # device states) or on the activation keyframe (visual-kind
+            # tail) it must be re-fetched inside.
+            st_np = None if (adopted or kfp["kind"] != "vio") else st_pref
+            imu.reinit_coarse_from_ba(R_np, t_np, slot, st_np=st_np)
+            # Replay the frames consumed since the keyframe so the belief
+            # returns to the newest consumed frame (their visual fusion is
+            # lost — conservative, like the dispatch-time preview).
+            for ch in (self._rt_chunks_since_kf or []):
+                imu.predict_coarse(ch)
+            self._kf_st_host = None
+        self._rt_chunks_since_kf = None
+
     def _finalize_kf(self, prefetched=None) -> None:
         kfp = self._kf_finalize
         if kfp is None:
             return
         self._kf_finalize = None
+        if "kind" in kfp:
+            self._finalize_kf_vio(kfp)
+            return
         w = self.win
         slot, fid = kfp["slot"], kfp["fid"]
         if prefetched is not None:
