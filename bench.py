@@ -94,6 +94,17 @@ class Watchdog:
             time.sleep(min(dt, 5.0))
 
 
+def _dump_frametimes(tag, fts, total):
+    """BENCH_FRAMETIMES=1: per-frame wall times of the measured region on
+    stderr — localizes recompiles/link stalls that medians hide."""
+    if not os.environ.get("BENCH_FRAMETIMES"):
+        return
+    line = " ".join(f"{t*1e3:.0f}" for t in fts)
+    tail = total - sum(fts)
+    print(f"# {tag} frametimes(ms): {line} finish={tail*1e3:.0f}",
+          file=sys.stderr)
+
+
 def _warm_pose_fn(lie, np, jnp):
     def pose(i):
         center = np.array([0.035 * i, 0.015 * np.sin(i * 0.4), 0.004 * i])
@@ -165,10 +176,14 @@ def bench_vo():
     fs._rescue_track(_warm_pyr)   # fetches internally; result discarded
 
     t0 = time.perf_counter()
+    fts = []
     for i in range(n_warm, n_warm + N_MEAS):
+        ft = time.perf_counter()
         fs.add_frame(frames[i], timestamp=i * 0.05)
+        fts.append(time.perf_counter() - ft)
     fs.finish()   # flush the realtime pipeline inside the timed region
     dt = time.perf_counter() - t0
+    _dump_frametimes("vo", fts, dt)
     return N_MEAS / dt
 
 
@@ -218,12 +233,19 @@ def bench_vio():
                 and getattr(fs.imu, "pgba_count", 0) >= 1 \
                 and fs.stats_kf >= cfg.max_frames + 4 and n_warm >= 48:
             break
+    if os.environ.get("BENCH_VERBOSE"):
+        from dmvio_tpu.utils import timing as _timing
+        _timing.reset()   # stage stats then cover the measured region only
     t0 = time.perf_counter()
+    fts = []
     for i in range(n_warm, n_warm + N_MEAS):
+        ft = time.perf_counter()
         fs.add_frame(seq["images"][i], float(seq["timestamps"][i]),
                      imu_data=chunk(i))
+        fts.append(time.perf_counter() - ft)
     fs.finish()
     dt = time.perf_counter() - t0
+    _dump_frametimes("vio", fts, dt)
     return N_MEAS / dt, int(fs.imu.phase)
 
 

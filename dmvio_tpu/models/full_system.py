@@ -1400,7 +1400,8 @@ class FullSystem:
                   if imu.coarse is not None else None)
         # The KF-to-KF chunk stops at this keyframe's frame id: younger
         # in-flight frames' samples are already buffered and stay.
-        imu.on_new_keyframe(prev_slot, slot, pred_v, upto_fid=upto_fid)
+        with TimeMeasurement("imu_kf_pair"):
+            imu.on_new_keyframe(prev_slot, slot, pred_v, upto_fid=upto_fid)
         with TimeMeasurement("activate"):
             self._activate_points(slot)
         snap = (w.frames, w.points, w.pair_mask, w.calib,
@@ -1412,7 +1413,8 @@ class FullSystem:
         w.frames = window_ops.set_fej_current(w.frames, slot)
         self._imu_set_fej(slot)
         if self._vio_mode():
-            refs, pts_d, pm_d = self._dispatch_vio_tail(slot)
+            with TimeMeasurement("kf_dispatch_tail"):
+                refs, pts_d, pm_d = self._dispatch_vio_tail(slot)
             kind = "vio"
         else:
             out = self._dispatch_marg_fused(slot)
@@ -1472,8 +1474,9 @@ class FullSystem:
                 pose_pack_np = self._kf_fused_tail(slot, kfp["snap"])
             self._build_tracker_ref_dev(slot)
         elif kfp["kind"] == "vio":
-            pose_pack_np = self._apply_vio_tail_host(
-                fetched, kfp["pts"], kfp["pm"])
+            with TimeMeasurement("kf_apply_host"):
+                pose_pack_np = self._apply_vio_tail_host(
+                    fetched, kfp["pts"], kfp["pm"])
         else:
             (vlist, HM_np, bM_np, _, n_post, pose_pack_np,
              self._frame_th_np) = fetched
@@ -1496,9 +1499,10 @@ class FullSystem:
             if imu.try_initialize(self.kf_poses):
                 self._imu_activate(slot)
         if imu.phase == imu_system.ACTIVE:
-            adopted = imu.maybe_run_pgba(
-                w.frames, w.slot_frame_id,
-                active_event_fn=self._active_visual_event)
+            with TimeMeasurement("pgba_maybe"):
+                adopted = imu.maybe_run_pgba(
+                    w.frames, w.slot_frame_id,
+                    active_event_fn=self._active_visual_event)
             F_ = self.cfg.f_max
             R_np = pose_pack[:9 * F_].reshape(F_, 3, 3)[slot]
             t_np = pose_pack[9 * F_:12 * F_].reshape(F_, 3)[slot]
@@ -1507,12 +1511,13 @@ class FullSystem:
             # device states) or on the activation keyframe (visual-kind
             # tail) it must be re-fetched inside.
             st_np = None if (adopted or kfp["kind"] != "vio") else st_pref
-            imu.reinit_coarse_from_ba(R_np, t_np, slot, st_np=st_np)
-            # Replay the frames consumed since the keyframe so the belief
-            # returns to the newest consumed frame (their visual fusion is
-            # lost — conservative, like the dispatch-time preview).
-            for ch in (self._rt_chunks_since_kf or []):
-                imu.predict_coarse(ch)
+            with TimeMeasurement("coarse_reseed"):
+                imu.reinit_coarse_from_ba(R_np, t_np, slot, st_np=st_np)
+                # Replay the frames consumed since the keyframe so the
+                # belief returns to the newest consumed frame (their visual
+                # fusion is lost — conservative, like the dispatch preview).
+                for ch in (self._rt_chunks_since_kf or []):
+                    imu.predict_coarse(ch)
             self._kf_st_host = None
         self._rt_chunks_since_kf = None
 

@@ -40,6 +40,66 @@ def _top_kernels(trace_dir: str, k: int = 10):
     return sorted(names.items(), key=lambda kv: -kv[1][1])[:k]
 
 
+def _run_traced(name, fn):
+    import jax
+    fn()   # warm / compile outside the trace
+    d = tempfile.mkdtemp(prefix=f"dmvio_prof_{name}_")
+    with jax.profiler.trace(d):
+        fn()
+    tops = _top_kernels(d, k=10)
+    total = sum(dur for _, (_, dur) in _top_kernels(d, k=10 ** 6))
+    print(f"== {name}  (device total {total / 1e3:.2f} ms)")
+    for kk, (n, dur) in tops:
+        print(f"  {dur / 1e3:9.3f} ms x{n:5d}  {kk[:78]}", flush=True)
+
+
+def _profile_vio(want, cfg, H, W):
+    """Device profile of the VISUAL-INERTIAL keyframe-tail programs at
+    the benchmark operating point: steady-state ACTIVE-phase system, then
+    trace the extended BA and the fused VIO marg tail."""
+    import jax
+    import numpy as np
+
+    from dmvio_tpu.models import full_system, imu_system
+    from dmvio_tpu.utils import synthetic
+
+    seq = synthetic.generate_vio_sequence(
+        n_frames=60, frame_dt=0.05, h=H, w=W, s_dso=1.3, g2=(0.05, -0.03),
+        accel_scale=0.5, rot_scale=0.3, seed=2,
+        scene=synthetic.default_scene(depth=2.0))
+    fs = full_system.FullSystem(seq["calib"], H, W, cfg,
+                                imu_calib=imu_system.IMUCalib())
+    spf = seq["steps_per_frame"]
+
+    def chunk(i):
+        if i == 0:
+            return None
+        s0, s1 = (i - 1) * spf, i * spf
+        return (seq["acc"][s0:s1], seq["gyr"][s0:s1],
+                np.full(s1 - s0, seq["imu_dt"], np.float32))
+
+    for i in range(60):
+        fs.add_frame(seq["images"][i], float(seq["timestamps"][i]),
+                     imu_data=chunk(i))
+    print(f"steady state: {fs.stats_kf} keyframes, "
+          f"{fs._n_active:.0f} active pts, imu phase {fs.imu.phase}",
+          flush=True)
+    assert fs.imu.phase == imu_system.ACTIVE, "IMU never activated"
+
+    w = fs.win
+    slot = fs.ref_kf_slot
+    stages = {
+        "vio_ba": lambda: (fs._run_ba(max_iters=cfg.ba_iters),
+                           jax.block_until_ready(w.points.idepth)),
+        "vio_tail": lambda: jax.block_until_ready(
+            fs._dispatch_vio_tail(slot)[0][:3]),
+        "track": lambda: None,   # covered by the visual profile
+    }
+    for name in ("vio_ba", "vio_tail"):
+        if name in want:
+            _run_traced(name, stages[name])
+
+
 def main(argv=None):
     import jax
     import jax.numpy as jnp
@@ -50,14 +110,22 @@ def main(argv=None):
     from dmvio_tpu.utils import lie, synthetic
     from dmvio_tpu.utils.camera import Calib
 
-    want = set(argv if argv is not None else sys.argv[1:]) or {
-        "pyramid", "track", "trace", "activate", "ba", "marg", "tref"}
+    args = list(argv if argv is not None else sys.argv[1:])
+    vio = "--vio" in args
+    if vio:
+        args.remove("--vio")
+    want = set(args) or (
+        {"vio_ba", "vio_tail", "track"} if vio else
+        {"pyramid", "track", "trace", "activate", "ba", "marg", "tref"})
 
     H = W = 512
     calib = Calib.create(380.0, 380.0, W / 2 - 0.5, H / 2 - 0.5)
     scene = synthetic.default_scene(depth=2.0)
     cfg = window.Config(f_max=8, p_max=2048, i_max=2048, max_frames=7,
                         levels=6, ba_iters=6, realtime=False)
+    if vio:
+        _profile_vio(want, cfg, H, W)
+        return
     fs = full_system.FullSystem(calib, H, W, cfg)
 
     def pose(i):
