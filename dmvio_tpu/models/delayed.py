@@ -95,6 +95,27 @@ class DelayedLog:
         self.tail_s0: float = 0.0
         self.tail_g20: np.ndarray = np.zeros(2)
 
+    def snapshot(self) -> "DelayedLog":
+        """O(#events) pointer-copy snapshot for the background PGBA thread.
+
+        Safe because the log is copy-on-write by construction: events and
+        symbolic pairs are immutable after record_event (their H/b0/fej
+        arrays are freshly built by the recorder and never written again),
+        and _advance REPLACES tail_H/tail_b0/tail_fej with new objects
+        rather than mutating them in place. Replaces a per-PGBA-cycle
+        copy.deepcopy of ~100 events (~15 MB + thousands of host objects,
+        all under the GIL)."""
+        snap = DelayedLog(delay=self.delay, R_cb=self.R_cb, t_cb=self.t_cb)
+        snap.events = deque(self.events)
+        snap.pairs = list(self.pairs)
+        snap.tail_fids = list(self.tail_fids)
+        snap.tail_H = self.tail_H
+        snap.tail_b0 = self.tail_b0
+        snap.tail_fej = dict(self.tail_fej)
+        snap.tail_s0 = self.tail_s0
+        snap.tail_g20 = self.tail_g20
+        return snap
+
     # -- recording ---------------------------------------------------------
     def record_event(self, ev: MargEvent,
                      pairs: List[SymbolicPair]) -> None:
@@ -324,6 +345,27 @@ def pair_weights(pre: dict):
     Wb = np.diag(np.concatenate([
         np.full(3, 1.0 / (P.NOISE.sigma_gyro_walk * np.sqrt(max(dt, 1e-6)))),
         np.full(3, 1.0 / (P.NOISE.sigma_acc_walk * np.sqrt(max(dt, 1e-6))))]))
+    return W9, Wb
+
+
+def pair_weights_batch(pres: List[dict]):
+    """Batched pair_weights over N preints: (W9 [N,9,9], Wb [N,6,6]).
+    Same formulas; np.linalg batches the 9x9 cholesky/inverse."""
+    from dmvio_tpu.ops import preint as P
+
+    infl = np.diag(np.concatenate([
+        np.full(3, 1e-3 ** 2), np.full(3, 0.01 ** 2),
+        np.full(3, 0.003 ** 2)]))
+    cov = np.stack([np.asarray(p["cov"], np.float64) for p in pres])
+    W9 = np.linalg.inv(np.linalg.cholesky(
+        cov + infl + 1e-14 * np.eye(9)))
+    dt = np.maximum(np.asarray([float(p["dt"]) for p in pres]), 1e-6)
+    sg = 1.0 / (P.NOISE.sigma_gyro_walk * np.sqrt(dt))
+    sa = 1.0 / (P.NOISE.sigma_acc_walk * np.sqrt(dt))
+    Wb = np.zeros((len(pres), 6, 6))
+    for k in range(3):
+        Wb[:, k, k] = sg
+        Wb[:, 3 + k, 3 + k] = sa
     return W9, Wb
 
 

@@ -682,10 +682,9 @@ class IMUSystem:
                             if active_event_fn is not None else None)
             st_np = jax.device_get((self.states.s_log, self.states.g2))
         if self.pgba_background:
-            import copy
             import threading
 
-            log_copy = copy.deepcopy(self.delayed_log)
+            log_copy = self.delayed_log.snapshot()
             holder = [None]
 
             def work():

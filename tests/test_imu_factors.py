@@ -147,3 +147,52 @@ def test_residual_zero_at_consistent_states():
     stj = F.FrameState(R_cw_j, t_cw_j, v_j, sti.bg.copy(), sti.ba.copy())
     r, _ = F.linearize_pair(sti, stj, pre, s_log, g2, R_cb, t_cb)
     assert np.abs(r).max() < 1e-10, np.abs(r).max()
+
+
+def test_batched_linearization_matches_scalar():
+    """linearize_pairs_batch must agree with the scalar linearize_pair to
+    float64 roundoff on random pairs (the PGBA LM loop depends on it)."""
+    rng = np.random.default_rng(11)
+    K, N = 9, 24
+    states = [_rand_state(rng) for _ in range(K)]
+    pres = [_rand_pre(rng, dt=float(rng.uniform(0.05, 0.4)))
+            for _ in range(N)]
+    ii = rng.integers(0, K, N)
+    jj = (ii + 1 + rng.integers(0, K - 1, N)) % K
+    s_log = 0.17
+    g2 = np.array([0.03, -0.08])
+    R_cb = F._exp_so3(np.array([0.2, -0.4, 1.1]))
+    t_cb = np.array([0.05, 0.02, -0.08])
+
+    from dmvio_tpu.models.delayed import pair_weights_batch
+
+    W9, Wb = pair_weights_batch(pres)
+    batch = F.PairBatch(pres, ii, jj, W9, Wb)
+    R = np.stack([s.R_cw for s in states])
+    t = np.stack([s.t_cw for s in states])
+    v = np.stack([s.v for s in states])
+    bg = np.stack([s.bg for s in states])
+    ba = np.stack([s.ba for s in states])
+    r_b, J_b = F.linearize_pairs_batch(batch, R, t, v, bg, ba,
+                                       s_log, g2, R_cb, t_cb)
+    assert r_b.shape == (N, 15) and J_b.shape == (N, 15, 33)
+    for k in range(N):
+        r_s, J_s = F.linearize_pair(states[ii[k]], states[jj[k]], pres[k],
+                                    s_log, g2, R_cb, t_cb)
+        np.testing.assert_allclose(r_b[k], r_s, rtol=1e-13, atol=1e-13)
+        np.testing.assert_allclose(J_b[k], J_s, rtol=1e-12, atol=1e-12)
+
+
+def test_batched_weights_match_scalar():
+    rng = np.random.default_rng(5)
+    pres = []
+    for _ in range(6):
+        A = rng.normal(0, 0.01, (9, 9))
+        pres.append({"cov": A @ A.T, "dt": float(rng.uniform(0.05, 0.5))})
+    from dmvio_tpu.models.delayed import pair_weights, pair_weights_batch
+
+    W9b, Wbb = pair_weights_batch(pres)
+    for k, p in enumerate(pres):
+        W9, Wb = pair_weights(p)
+        np.testing.assert_allclose(W9b[k], W9, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(Wbb[k], Wb, rtol=1e-12, atol=1e-12)
