@@ -4,9 +4,10 @@ Runs the full pipeline on synthetic 512x512 sequences — the reference's
 default TUM-VI operating point (512x512, 6 pyramid levels, 7-KF window,
 2048 active points, <=6 LM iterations; settings.cpp:93-103) — and reports
 frames/s, the reference's own primary speed metric
-(main_dmvio_dataset.cpp:305-321). Two measurements: visual-only (VO,
-pipelined realtime mode) as the headline metric, and full visual-inertial
-(VIO) in the `extra` field.
+(main_dmvio_dataset.cpp:305-321). The HEADLINE metric is full
+visual-inertial odometry (VIO) — the system the reference actually is;
+visual-only (VO) fps, time-to-IMU-active and init-phase fps are reported
+in `extra`.
 
 vs_baseline compares against 20 frames/s: TUM-VI camera rate, i.e. the
 throughput the reference's realtime preset must sustain (>1 = faster than
@@ -28,7 +29,7 @@ import sys
 import threading
 import time
 
-METRIC = "vo_frames_per_second_512x512"
+METRIC = "vio_frames_per_second_512x512"
 BASELINE_FPS = 20.0   # TUM-VI camera rate = realtime requirement
 
 
@@ -63,9 +64,11 @@ def probe_backend(timeout_s: float = None, attempts: int = 3) -> str:
                     .splitlines() or ["rc=%d" % r.returncode])[-1][:200]
         except subprocess.TimeoutExpired:
             last = f"probe timeout after {timeout_s:.0f}s"
-        # Short backoff between attempts; link stalls are often transient.
+        # Bounded backoff between attempts (5-20s of actual sleep; link
+        # stalls are often transient). Computed so a fast failure waits
+        # out most of a 30s window but a slow timeout still backs off.
         if k + 1 < attempts:
-            time.sleep(min(20.0, max(0.0, 30.0 - (time.time() - t0))))
+            time.sleep(min(20.0, max(5.0, 30.0 - (time.time() - t0))))
     return f"tpu backend unavailable ({last})"
 
 
@@ -74,7 +77,7 @@ class Watchdog:
 
     def __init__(self, budget_s: float):
         self.deadline = time.time() + budget_s
-        self.partial = None   # (value, vs_baseline, extra) if VO finished
+        self.partial = None   # (value, vs_baseline, extra) once VIO finished
         t = threading.Thread(target=self._run, daemon=True)
         t.start()
 
@@ -85,7 +88,7 @@ class Watchdog:
                 if self.partial is not None:
                     v, vs, ex = self.partial
                     ex = dict(ex or {})
-                    ex["note"] = "vio stage timed out"
+                    ex["note"] = "vo stage timed out"
                     emit(v, vs, extra=ex)
                 else:
                     emit(0.0, 0.0, error="benchmark watchdog timeout "
@@ -188,7 +191,11 @@ def bench_vo():
 
 
 def bench_vio():
-    """Full visual-inertial fps at the same 512x512 operating point."""
+    """Full visual-inertial fps at the 512x512 operating point — the
+    HEADLINE metric (the reference is a visual-inertial system; its
+    realtime bar applies to VIO, MainSettings.cpp:205-236). Also returns
+    cold-start stats: wall time and fps from frame 0 to the IMU-ACTIVE
+    phase flip (the reference is realtime from frame 0)."""
     import jax
     import numpy as np
 
@@ -225,14 +232,24 @@ def bench_vio():
     # seconds (measured: the same region is 10.8 fps fully-warm vs 4.9
     # with activation-only warmup).
     n_warm = 0
+    t_start = time.perf_counter()
+    t_active = None
+    n_active = None
     for i in range(N_WARM_MAX):
         fs.add_frame(seq["images"][i], float(seq["timestamps"][i]),
                      imu_data=chunk(i))
         n_warm += 1
+        if t_active is None and fs.imu.phase == imu_system.ACTIVE:
+            t_active = time.perf_counter() - t_start
+            n_active = n_warm
         if fs.initialized and fs.imu.phase == imu_system.ACTIVE \
                 and getattr(fs.imu, "pgba_count", 0) >= 1 \
                 and fs.stats_kf >= cfg.max_frames + 4 and n_warm >= 48:
             break
+    cold = {}
+    if t_active is not None:
+        cold["time_to_imu_active_s"] = round(t_active, 3)
+        cold["init_phase_fps"] = round(n_active / t_active, 3)
     if os.environ.get("BENCH_VERBOSE"):
         from dmvio_tpu.utils import timing as _timing
         _timing.reset()   # stage stats then cover the measured region only
@@ -246,7 +263,7 @@ def bench_vio():
     fs.finish()
     dt = time.perf_counter() - t0
     _dump_frametimes("vio", fts, dt)
-    return N_MEAS / dt, int(fs.imu.phase)
+    return N_MEAS / dt, int(fs.imu.phase), cold
 
 
 def main():
@@ -261,25 +278,18 @@ def main():
     from dmvio_tpu.utils import jax_cache
     jax_cache.enable()   # compiles persist across runs (like shipped C++)
 
+    # VIO is the headline (the gating metric): the reference's realtime
+    # bar applies to the full inertial system, not visual-only odometry.
     try:
-        fps = bench_vo()
+        fps, phase, cold = bench_vio()
     except Exception as e:  # noqa: BLE001 — must still print the line
-        emit(0.0, 0.0, error=f"vo bench failed: {type(e).__name__}: "
+        emit(0.0, 0.0, error=f"vio bench failed: {type(e).__name__}: "
              f"{str(e)[:200]}")
         return
 
-    extra = {}
+    extra = {"vio_imu_phase": phase}
+    extra.update(cold)
     wd.partial = (fps, fps / BASELINE_FPS, extra)
-    if os.environ.get("BENCH_VERBOSE"):
-        from dmvio_tpu.utils import timing as _timing
-        _timing.reset()   # verbose stats then cover the VIO stage only
-    if os.environ.get("BENCH_VIO", "1") != "0":
-        try:
-            vio_fps, phase = bench_vio()
-            extra["vio_frames_per_second_512x512"] = round(vio_fps, 3)
-            extra["vio_imu_phase"] = phase
-        except Exception as e:  # noqa: BLE001
-            extra["vio_error"] = (f"{type(e).__name__}: {str(e)[:200]}")
 
     if os.environ.get("BENCH_VERBOSE"):
         from dmvio_tpu.utils.timing import get_stats
@@ -289,6 +299,12 @@ def main():
             print(f"#   {k}: n={v['n']} med={v['median']*1e3:.1f}ms "
                   f"mean={v['mean']*1e3:.1f}ms top=[{top}]ms",
                   file=sys.stderr)
+    if os.environ.get("BENCH_VO", "1") != "0":
+        try:
+            vo_fps = bench_vo()
+            extra["vo_frames_per_second_512x512"] = round(vo_fps, 3)
+        except Exception as e:  # noqa: BLE001
+            extra["vo_error"] = (f"{type(e).__name__}: {str(e)[:200]}")
     emit(fps, fps / BASELINE_FPS, extra=extra or None)
 
 

@@ -59,10 +59,17 @@ def _set_matmul_precision() -> None:
     extra MXU passes cost a fraction of a visual pipeline dominated by
     gathers/VPU work. Hot ops that are PROVEN insensitive can relax
     per-op via precision=... arguments; the global default must be
-    correct-first."""
+    correct-first.
+
+    DMVIO_MATMUL_PRECISION overrides the default ('highest'|'high'|
+    'default') — the experimentation knob for the per-op relaxation
+    audit (docs/PERF.md)."""
+    import os
+
     import jax
 
-    jax.config.update("jax_default_matmul_precision", "highest")
+    jax.config.update("jax_default_matmul_precision",
+                      os.environ.get("DMVIO_MATMUL_PRECISION", "highest"))
 
 
 _set_matmul_precision()

@@ -1634,10 +1634,17 @@ class FullSystem:
         """The active window's reduced visual system as a quadratic over
         the current keyframes — getActiveDSOFactor parity
         (BAGTSAMIntegration.cpp:473-481): marginalize EVERY active point's
-        idepth out of the photometric system at the FEJ states."""
+        idepth out of the photometric system at the FEJ states.
+
+        Two-phase: DISPATCHES the device program and returns
+        (device_refs, build_fn) so the caller (imu_system.maybe_run_pgba)
+        can merge the fetch with its own state snapshot — every D2H copy
+        is a fixed ~30-55 ms link round trip, and the old one-call form
+        cost four of them back-to-back on the keyframe critical path."""
         from dmvio_tpu.models import delayed as dly
         w = self.win
         F = self.cfg.f_max
+        imu = self.imu
         problem = ba.BAProblem(
             frames=w.frames, points=w.points, calib=w.calib,
             calib0=w.calib0, HM=jnp.asarray(w.HM, jnp.float32),
@@ -1655,18 +1662,24 @@ class FullSystem:
         b_ext = vio_ba.embed_vis(b_add * vio_ba.W_DSO, F)
         slots = w.slots_by_age()
         fids = [w.slot_frame_id[s_] for s_ in slots]
-        H_np, b_np = jax.device_get((H_ext, b_ext))
-        H_ev, b_ev = self.imu.cext_to_event(
-            np.asarray(H_np, np.float64), np.asarray(b_np, np.float64),
-            slots)
-        fej = self.imu.snapshot_kf_states(w.frames, w.slot_frame_id,
-                                          use_fej=True)
-        st_np = jax.device_get((self.imu.states.s_log0,
-                                self.imu.states.g20))
-        return dly.MargEvent(
-            victim=-1, fids=fids, H=H_ev, b0=b_ev,
-            fej={f: fej[f] for f in fids if f in fej},
-            s_log0=float(st_np[0]), g20=np.asarray(st_np[1]))
+        slot_fids = list(w.slot_frame_id)
+        st = imu.states
+        refs = (H_ext, b_ext, w.frames.R0_cw, w.frames.t0_cw,
+                w.frames.aff0, st.v0, st.bg0, st.ba0, st.s_log0, st.g20)
+
+        def build(pack):
+            (H_np, b_np, R0, t0, aff0, v0, bg0, ba0, s0, g20) = pack
+            H_ev, b_ev = imu.cext_to_event(
+                np.asarray(H_np, np.float64), np.asarray(b_np, np.float64),
+                slots)
+            fej = imu.build_kf_snapshot((R0, t0, aff0, v0, bg0, ba0),
+                                        slot_fids)
+            return dly.MargEvent(
+                victim=-1, fids=fids, H=H_ev, b0=b_ev,
+                fej={f: fej[f] for f in fids if f in fej},
+                s_log0=float(s0), g20=np.asarray(g20, np.float64))
+
+        return refs, build
 
     def _vio_marginalize_frames(self, victims, fold_np=None,
                                 fej_np=None) -> None:

@@ -132,6 +132,10 @@ class IMUSystem:
             delay=calib.pgba_delay, R_cb=calib.R_cb, t_cb=calib.t_cb)
         self.kf_since_pgba = 0
         self.best_pgba_var = float("inf")
+        # device_pairs() memo (see its docstring) + shared identity preint.
+        self._device_pairs_cache = None
+        self._device_pairs_key = ()
+        self._identity_pre = None
 
     # -- per-frame ingestion ------------------------------------------------
     def add_frame_imu(self, acc, gyr, dts, fid: int = -1) -> None:
@@ -472,11 +476,25 @@ class IMUSystem:
         )
 
     def device_pairs(self) -> vio_ba.IMUPairs:
+        """Stacked device form of the window's KF-to-KF pairs.
+
+        Cached: building the stack costs ~7 ms of host work (tree_map +
+        per-field jnp.stack over Q preints) and the pair set only changes
+        at keyframe boundaries while the stack is consumed 2+ times per
+        keyframe (BA dispatch + fused tail). Keyed on the identity of the
+        pair tuples so ANY mutation (append, filter, reassignment from
+        reset/checkpoint) invalidates without cooperation from callers."""
+        key = tuple(id(t) for t in self.pairs)
+        if self._device_pairs_cache is not None \
+                and self._device_pairs_key == key:
+            return self._device_pairs_cache
         Q = self.f_max - 1
         pres = []
         iis = np.zeros(Q, np.int32)
         jjs = np.zeros(Q, np.int32)
         val = np.zeros(Q, bool)
+        if self._identity_pre is None:
+            self._identity_pre = preint.identity_preint(jnp.zeros(6))
         for q in range(Q):
             if q < len(self.pairs):
                 i, j, pre = self.pairs[q][:3]
@@ -485,10 +503,16 @@ class IMUSystem:
                 val[q] = True
                 pres.append(pre)
             else:
-                pres.append(preint.identity_preint(jnp.zeros(6)))
+                pres.append(self._identity_pre)
         pre_b = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pres)
-        return vio_ba.IMUPairs(pre=pre_b, i=jnp.asarray(iis),
-                               j=jnp.asarray(jjs), valid=jnp.asarray(val))
+        out = vio_ba.IMUPairs(pre=pre_b, i=jnp.asarray(iis),
+                              j=jnp.asarray(jjs), valid=jnp.asarray(val))
+        self._device_pairs_cache = out
+        self._device_pairs_key = key
+        # Keep the keyed tuples alive so a freed tuple's id cannot be
+        # reused by a NEW pair and alias the cache.
+        self._device_pairs_ref = list(self.pairs)
+        return out
 
     def drop_pairs_touching(self, slots: List[int]):
         """Remove pairs that reference marginalized slots; returns the
@@ -676,11 +700,26 @@ class IMUSystem:
         self.kf_since_pgba = 0
         self.pgba_count = getattr(self, "pgba_count", 0) + 1
         with TimeMeasurement("pgba_snapshot"):
-            win = self.snapshot_kf_states(frames_dev, slot_fids,
-                                          use_fej=False)
-            active_event = (active_event_fn()
-                            if active_event_fn is not None else None)
-            st_np = jax.device_get((self.states.s_log, self.states.g2))
+            # ONE link round trip for the whole snapshot: window states,
+            # the active-visual-event quadratic (dispatch half returns
+            # device refs + a host builder), and scale/gravity. Each
+            # separate device_get costs a fixed ~30-55 ms (docs/PERF.md);
+            # the old sequential form burned four of them per PGBA cycle
+            # on the keyframe critical path.
+            st = self.states
+            ev_disp = (active_event_fn()
+                       if active_event_fn is not None else None)
+            win_refs = ((frames_dev.R_cw, frames_dev.t_cw, frames_dev.aff,
+                         st.v, st.bg, st.ba)
+                        if frames_dev is not None else None)
+            win_pack, ev_pack, st_np = jax.device_get(
+                (win_refs, ev_disp[0] if ev_disp else None,
+                 (st.s_log, st.g2)))
+            win = (self.build_kf_snapshot(win_pack, slot_fids)
+                   if win_pack is not None
+                   else self.snapshot_kf_states(frames_dev, slot_fids,
+                                                use_fej=False))
+            active_event = ev_disp[1](ev_pack) if ev_disp else None
         if self.pgba_background:
             import threading
 

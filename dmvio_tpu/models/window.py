@@ -46,8 +46,10 @@ class Config:
     # Pipelined tracking/mapping (the reference's realtime mode,
     # linearizeOperation=false): the host consumes each frame's tracking
     # result one frame late, so device compute overlaps host bookkeeping
-    # and the keyframe path. Visual-only for now (the IMU coarse filter
-    # syncs per frame and would serialize the pipeline).
+    # and the keyframe path. Carries the full inertial stack: the IMU
+    # coarse filter issues a dispatch-time preview and advances at consume
+    # time, and inertial keyframes finalize deferred with divergence
+    # revert (full_system._make_keyframe_rt_vio / _finalize_kf_vio).
     realtime: bool = False
     # Realtime pipeline depth cap: frames are consumed as soon as their
     # result copy lands (issued at dispatch time on the fetch pool,

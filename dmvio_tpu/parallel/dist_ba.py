@@ -36,16 +36,37 @@ from dmvio_tpu.models import ba
 
 
 def make_mesh(n_devices: int, name_a: str = "dp", name_b: str = "mp") -> Mesh:
-    """2D (host-like x chip-like) mesh over the first n devices."""
-    if len(jax.devices()) < n_devices:
+    """2D (host-like x chip-like) mesh over the first n devices.
+
+    Under a multi-process runtime (jax.distributed.initialize via
+    parallel/dist_init.py, jax.process_count() > 1) the mesh spans the
+    WHOLE slice with the dp axis along processes — collectives over dp
+    ride DCN, over mp ride ICI — and n_devices must be 0 (= all) or the
+    global device count: cross-host GSPMD requires every process to run
+    the identical program over the identical mesh."""
+    devs_all = jax.devices()
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        n_local = len(devs_all) // n_proc
+        if n_devices not in (0, len(devs_all)):
+            raise RuntimeError(
+                f"multi-process mesh must span all {len(devs_all)} global "
+                f"devices (got n_devices={n_devices}; pass 0 for 'all')")
+        devs = np.asarray(
+            sorted(devs_all, key=lambda d: (d.process_index, d.id))
+        ).reshape(n_proc, n_local)
+        return Mesh(devs, (name_a, name_b))
+    if n_devices == 0:
+        n_devices = len(devs_all)
+    if len(devs_all) < n_devices:
         raise RuntimeError(
-            f"need {n_devices} devices, have {len(jax.devices())} "
+            f"need {n_devices} devices, have {len(devs_all)} "
             "(set --xla_force_host_platform_device_count for virtual runs)")
     if n_devices % 2 == 0:
         shape = (n_devices // 2, 2)
     else:
         shape = (n_devices, 1)
-    devs = np.asarray(jax.devices()[:n_devices]).reshape(shape)
+    devs = np.asarray(devs_all[:n_devices]).reshape(shape)
     return Mesh(devs, (name_a, name_b))
 
 
@@ -121,7 +142,12 @@ class Placer:
         self._pt = NamedSharding(mesh, P(axes))          # [P, ...] leaves
         self._pair = NamedSharding(mesh, P(None, axes))  # [F, P] leaves
         self._rep = NamedSharding(mesh, P())
-        self._home = jax.devices()[0]
+        # Multi-process (jax.distributed): placements become global arrays
+        # (jax.device_put from identical per-host values is supported) and
+        # gather() must route through collectives — a remote shard is not
+        # addressable from this host.
+        self._multiproc = jax.process_count() > 1
+        self._home = jax.local_devices()[0]
         self._img_key = None
         self._img_placed = None
 
@@ -180,8 +206,28 @@ class Placer:
         )
 
     def gather(self, tree):
-        """Bring results back to the home device (where the rest of the
-        window state lives, so downstream single-device programs see
-        compatible placements)."""
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, self._home), tree)
+        """Bring results back to the LOCAL home device (where the rest of
+        the window state lives, so downstream single-device programs see
+        compatible placements).
+
+        Single-process: a device_put off the mesh. Multi-process: remote
+        shards are not addressable, so replicated leaves read their local
+        replica and point-sharded leaves all-gather across processes
+        (one DCN collective per leaf; the gathered results — the reduced
+        camera system and per-point scalars — are small)."""
+        if not self._multiproc:
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self._home), tree)
+        from jax.experimental import multihost_utils
+
+        def g(x):
+            if getattr(x, "is_fully_addressable", True):
+                return jax.device_put(x, self._home)
+            if getattr(x, "is_fully_replicated", False):
+                return jax.device_put(
+                    np.asarray(x.addressable_data(0)), self._home)
+            return jax.device_put(
+                np.asarray(multihost_utils.process_allgather(x, tiled=True)),
+                self._home)
+
+        return jax.tree_util.tree_map(g, tree)

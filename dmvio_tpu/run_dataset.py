@@ -24,9 +24,16 @@ def run(argv=None) -> dict:
     argv = argv if argv is not None else sys.argv[1:]
     from dmvio_tpu.io import dataset as ds
     from dmvio_tpu.models import full_system, window
+    from dmvio_tpu.parallel import dist_init
     from dmvio_tpu.utils import jax_cache, trajectory
     from dmvio_tpu.utils.settings import SettingsUtil
     from dmvio_tpu.utils.timing import TimeMeasurement, save_results
+
+    # Multi-host seam: under DMVIO_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID
+    # (or DMVIO_DIST=auto on pods) every process joins the jax.distributed
+    # runtime before first backend use; mesh_devices=0 then spans the whole
+    # slice and the sharded window programs ride DCN across hosts.
+    dist_init.maybe_initialize()
 
     jax_cache.enable()
 

@@ -46,8 +46,9 @@ def _run_traced(name, fn):
     d = tempfile.mkdtemp(prefix=f"dmvio_prof_{name}_")
     with jax.profiler.trace(d):
         fn()
-    tops = _top_kernels(d, k=10)
-    total = sum(dur for _, (_, dur) in _top_kernels(d, k=10 ** 6))
+    all_kernels = _top_kernels(d, k=10 ** 6)   # parse the trace once
+    tops = all_kernels[:10]
+    total = sum(dur for _, (_, dur) in all_kernels)
     print(f"== {name}  (device total {total / 1e3:.2f} ms)")
     for kk, (n, dur) in tops:
         print(f"  {dur / 1e3:9.3f} ms x{n:5d}  {kk[:78]}", flush=True)
@@ -91,13 +92,17 @@ def _profile_vio(want, cfg, H, W):
     stages = {
         "vio_ba": lambda: (fs._run_ba(max_iters=cfg.ba_iters),
                            jax.block_until_ready(w.points.idepth)),
+        # Block on the FULL refs tuple (all leaves are device arrays) so
+        # every tail kernel lands inside the trace window.
         "vio_tail": lambda: jax.block_until_ready(
-            fs._dispatch_vio_tail(slot)[0][:3]),
-        "track": lambda: None,   # covered by the visual profile
+            fs._dispatch_vio_tail(slot)[0]),
     }
-    for name in ("vio_ba", "vio_tail"):
-        if name in want:
+    for name in sorted(want):
+        if name in stages:
             _run_traced(name, stages[name])
+        else:
+            print(f"warning: unknown --vio stage '{name}' "
+                  f"(known: {sorted(stages)})", file=sys.stderr)
 
 
 def main(argv=None):
@@ -115,7 +120,7 @@ def main(argv=None):
     if vio:
         args.remove("--vio")
     want = set(args) or (
-        {"vio_ba", "vio_tail", "track"} if vio else
+        {"vio_ba", "vio_tail"} if vio else
         {"pyramid", "track", "trace", "activate", "ba", "marg", "tref"})
 
     H = W = 512

@@ -106,3 +106,28 @@ def test_covariance_scales_with_noise_and_time():
     W = np.asarray(preint.sqrt_information(p1))
     err = W.T @ W @ c1 - np.eye(9)
     assert np.abs(err).max() < 1e-2
+
+
+def test_vectorized_host_preint_matches_reference_loop():
+    """preintegrate_np (vectorized: batched SO(3) terms + closed-form bias
+    Jacobians) must agree with the per-step reference loop to float64
+    roundoff — the coarse filter, delayed log and PGBA all consume it."""
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 9, 64, 131):
+        acc = rng.normal(0, 2.0, (n, 3)) + np.array([0, 0, 9.8])
+        gyr = rng.normal(0, 0.8, (n, 3))
+        dts = rng.uniform(0.003, 0.008, n)
+        if n > 5:
+            dts[3] = 0.0          # zero-dt samples are skipped
+        bias = rng.normal(0, 0.05, 6)
+        fast = preint.preintegrate_np(acc, gyr, dts, bias)
+        ref = preint.preintegrate_np_ref(acc, gyr, dts, bias)
+        for k in ref:
+            va, vb = np.asarray(fast[k]), np.asarray(ref[k])
+            scale = max(np.abs(vb).max(), 1.0)
+            assert np.abs(va - vb).max() < 1e-11 * scale, (n, k)
+    # Degenerate inputs: empty chunk and all-zero dts hit the identity path.
+    z = preint.preintegrate_np(np.zeros((0, 3)), np.zeros((0, 3)),
+                               np.zeros(0), np.zeros(6))
+    np.testing.assert_allclose(z["dR"], np.eye(3))
+    assert z["dt"] == 0.0
