@@ -137,7 +137,14 @@ class FullSystem:
         # marginalization) run sharded over a device mesh; everything else
         # stays on the home device (parallel/dist_ba.Placer).
         self.placer = None
-        if self.cfg.mesh_devices and self.cfg.mesh_devices > 1:
+        from dmvio_tpu.parallel import dist_init
+        if dist_init.is_multiprocess():
+            # Multi-host runtime (jax.distributed): every process runs
+            # this same host pipeline; the mesh spans the whole slice
+            # (dp axis across processes/DCN) regardless of mesh_devices.
+            from dmvio_tpu.parallel import dist_ba
+            self.placer = dist_ba.Placer(dist_ba.make_mesh(0))
+        elif self.cfg.mesh_devices and self.cfg.mesh_devices > 1:
             from dmvio_tpu.parallel import dist_ba
             self.placer = dist_ba.Placer(
                 dist_ba.make_mesh(self.cfg.mesh_devices))

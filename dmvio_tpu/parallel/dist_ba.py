@@ -154,27 +154,44 @@ class Placer:
     # -- leaf placement helpers -----------------------------------------
     def _shard_points(self, pts):
         return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, self._pt), pts)
+            lambda x: self._put(x, self._pt), pts)
+
+    def _put(self, x, sharding):
+        """device_put that also works under a multi-process runtime.
+
+        Committed process-local arrays cannot be device_put onto a global
+        (partly non-addressable) sharding; every process holds the
+        identical value (SPMD host pipeline), so place from host memory
+        instead — jax accepts numpy inputs for global shardings by
+        slicing each process's addressable shards locally. Already-global
+        arrays with the right sharding pass through untouched."""
+        if self._multiproc and isinstance(x, jax.Array):
+            if not x.is_fully_addressable:
+                return x if x.sharding == sharding \
+                    else jax.device_put(x, sharding)
+            x = np.asarray(x)
+        return jax.device_put(x, sharding)
 
     def replicate(self, tree):
         return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, self._rep), tree)
+            lambda x: self._put(x, self._rep), tree)
 
     def place_images(self, images):
         """Replicate the window's level-0 image stack (identity-cached:
         jnp arrays are immutable, so id() keys one placement per stack)."""
         if self._img_key != id(images):
-            self._img_placed = jax.device_put(images, self._rep)
+            self._img_placed = jax.tree_util.tree_map(
+                lambda x: self._put(x, self._rep), images)
             self._img_key = id(images)
         return self._img_placed
 
     def pair_sharded(self, x):
         """Place an [F, P] mask/array with the point axis sharded."""
-        return jax.device_put(x, self._pair)
+        return self._put(x, self._pair)
 
     def point_sharded(self, x):
         """Place a [P]-leading array sharded over the mesh."""
-        return jax.device_put(x, self._pt)
+        return self._put(x, self._pt)
 
     def place_ba(self, problem: ba.BAProblem):
         """Place a visual window problem: points sharded, rest replicated."""

@@ -1,0 +1,64 @@
+"""Multi-HOST execution path: the production pipeline under
+jax.distributed (2 processes x 2 virtual CPU devices = a 4-device global
+mesh whose dp axis crosses process boundaries).
+
+This is the executable path behind BASELINE.md's 1->2-host scaling story
+(SURVEY §7 S6): the same GSPMD window programs that test_dist_pipeline
+validates on a single-process mesh here run with their dp collectives
+actually crossing processes (Gloo on CPU, DCN on TPU pods). Both ranks
+run the identical SPMD host pipeline and must produce the identical
+trajectory."""
+
+import re
+import socket
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+WORKER = Path(__file__).with_name("multihost_worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_pipeline():
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, str(WORKER), str(pid), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for pid in (0, 1)]
+    deadline = time.time() + 900
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=max(5.0,
+                                                 deadline - time.time()))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise AssertionError("multihost worker timed out")
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(out)
+
+    results = {}
+    for out in outs:
+        m = re.search(r"MHRESULT pid=(\d+) init=(\d+) kf=(\d+) "
+                      r"lost=(\d+) phase=(-?\d+) n=(\d+) digest=(\S+)", out)
+        assert m, f"no MHRESULT line in:\n{out[-2000:]}"
+        results[int(m.group(1))] = m.groups()[1:]
+
+    assert set(results) == {0, 1}
+    for pid, (init, kf, lost, _phase, n, _digest) in results.items():
+        assert init == "1", f"rank {pid} failed to initialize"
+        assert int(kf) >= 6, f"rank {pid} made only {kf} keyframes"
+        assert lost == "0", f"rank {pid} lost {lost} frames"
+        assert int(n) >= 30
+    # SPMD lockstep: both ranks ran the same global program and must agree
+    # bit-for-bit (same collectives, same reduction order).
+    assert results[0] == results[1], (results[0], results[1])
