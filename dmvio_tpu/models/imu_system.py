@@ -413,13 +413,23 @@ class IMUSystem:
             prior[off + 3:off + 6] = 1.0 / (0.01 ** 2)   # gyro bias
             prior[off + 6:off + 9] = 1.0 / (0.1 ** 2)    # accel bias
         Cg = ba_solve.cdim(F) + 9 * F
-        # Pin scale and gravity at the (variance-gated, converged) coarse
-        # init values: with only a handful of active IMU factors they are
-        # weakly observable in the window and the visual pose-noise bias
-        # steadily inflates the scale otherwise (shrink-the-world pressure).
-        # sigma ~ 1% scale / 0.01 rad gravity still allows BA refinement.
-        prior[Cg] = 1e4
+        # Pin scale/gravity at the (variance-gated, converged) coarse init
+        # values, at least as hard as sigma ~ 1% / 0.01 rad and harder when
+        # the init's own scale marginal is tighter. Scale must NOT float on
+        # the window alone: with a handful of active IMU factors it is
+        # weakly observable and the visual pose-noise bias inflates it
+        # (shrink-the-world pressure — measured: a freed scale ran 122%
+        # away on both synthetic seeds while sim3 IMPROVED). Corrections to
+        # the pinned value come from PGBA takeovers over the delay-100 log
+        # (the reference's route: IMUInitializerTransitions reinit), whose
+        # adoption gate below is seeded with the init's own marginal so a
+        # sloppier PGBA cannot override a sharper init.
+        s_var = float(getattr(res, "s_var", np.nan))
+        if not np.isfinite(s_var) or s_var <= 0:
+            s_var = 1.0
+        prior[Cg] = max(1.0 / s_var, 1e4)
         prior[Cg + 1:Cg + 3] = 1e4
+        self.best_pgba_var = min(self.best_pgba_var, s_var)
         self.prior_diag = prior   # host numpy (see window.py)
         self.phase = ACTIVE
 
@@ -592,7 +602,23 @@ class IMUSystem:
             return
         slots = [s for s, f in enumerate(slot_fids) if f is not None]
         fids = [slot_fids[s] for s in slots]
-        H_ev, b_ev = self.cext_to_event(self.HM, self.bM0, slots)
+        # Include the activation PRIOR (velocities/biases AND the
+        # init-marginal scale/gravity pin) alongside the (at this point
+        # empty) marginalization quadratic: the reference's delayed graph
+        # receives the priors factor group too. Without it PGBA's scale is
+        # blind to what the coarse init established, and on low-excitation
+        # stretches (flat chi^2 valley over s, measured dE ~ 6 over a 38%
+        # scale range) it drifts multiple init-sigmas away and then ADOPTS
+        # on a formally-tighter-but-biased marginal.
+        # (After a marginalization REPLACEMENT the rebuilt HM carries this
+        # prior while the window solver still adds prior_diag — a benign
+        # double-count: vel 4, bias 1e4 vs ~3e8 walk factors, and 2x on
+        # the scale/gravity pin, which is a pin either way.)
+        H_full = np.asarray(self.HM, np.float64).copy()
+        if self.prior_diag is not None:
+            H_full[np.diag_indices_from(H_full)] += np.asarray(
+                self.prior_diag, np.float64)
+        H_ev, b_ev = self.cext_to_event(H_full, self.bM0, slots)
         fej = self.snapshot_kf_states(frames_dev, slot_fids, use_fej=True)
         st_np = jax.device_get((self.states.s_log0, self.states.g20))
         self.delayed_log.record_event(delayed.MargEvent(

@@ -44,6 +44,7 @@ def run(argv=None) -> dict:
         ("resultsPrefix", "./"), ("settingsFile", ""), ("camchain", ""),
         ("preset", 0), ("nogui", 1), ("quiet", 0), ("useimu", 0),
         ("maxFrames", -1), ("start", 0), ("nativeLoader", 1),
+        ("viewerPort", 8765),   # nogui=0 live HTTP viewer (0 = ephemeral)
         # IMU noise model + init knobs under the REFERENCE's yaml names so
         # the stock per-dataset configs (configs/tumvi.yaml etc.) apply
         # unchanged (IMUSettings.h:126-135, IMUInitSettings.h:64-65).
@@ -128,11 +129,22 @@ def run(argv=None) -> dict:
     fs = full_system.FullSystem(reader.undist.K_out, h, w, cfg,
                                 imu_calib=imu_calib)
     viewer = None
+    live = None
     if not su["nogui"]:
-        # Headless viewer (the reference opens a Pangolin window here;
-        # we render the same content into resultsPrefix + viz/).
+        # The reference opens a Pangolin window here; headless-native we
+        # attach BOTH live-content consumers: the HTTP live viewer
+        # (browser shows trajectory/keyframes/depth while running) and
+        # the headless artifact renderer (resultsPrefix + viz/).
+        from dmvio_tpu.io.live_viewer import LiveViewer
         from dmvio_tpu.io.viewer import HeadlessViewer
 
+        try:
+            live = LiveViewer(port=int(su["viewerPort"]))
+            print(f"live viewer: http://127.0.0.1:{live.port}/",
+                  file=sys.stderr)
+            fs.output_wrappers.append(live)
+        except OSError as e:
+            print(f"live viewer disabled ({e})", file=sys.stderr)
         viewer = HeadlessViewer(su["resultsPrefix"] + "viz")
         fs.output_wrappers.append(viewer)
     streams = None
@@ -183,6 +195,8 @@ def run(argv=None) -> dict:
     su.print_all(open(prefix + "usedSettings.txt", "w").write)
     if streams is not None:
         streams.join()
+    if live is not None:
+        live.close()
     if viewer is not None:
         viewer.join()
         if not su["quiet"]:

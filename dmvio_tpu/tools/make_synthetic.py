@@ -47,14 +47,46 @@ def main(argv=None):
     exposures = 1.0 + exp_var * np.sin(
         0.35 * np.arange(n) + phase).astype(np.float64)
 
+    # Photometric-calibration emulation (photometric=1): bake a known
+    # camera response (gamma) and lens vignette into the raw frames and
+    # write the calibration files in the reference's formats —
+    # pcalib.txt with the 256-value response G (TUM monoVO format,
+    # src/dso/util/Undistort.cpp PhotometricUndistorter) and a 16-bit
+    # vignette.png. The raw pixel model matches the reference's:
+    #   I_raw = G(exposure * V(x) * irradiance)
+    # so running the pipeline with gammaCalib=/vignette= must recover the
+    # clean sequence (up to 8-bit quantization).
+    photometric = int(args.get("photometric", 0))
+    gamma_pow = float(args.get("gamma", 0.7))
+    vig_strength = float(args.get("vig", 0.35))
+    vignette_map = None
+    response = None
+    if photometric:
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        r2 = (((xx - w / 2) / (w / 2)) ** 2
+              + ((yy - h / 2) / (h / 2)) ** 2) / 2.0
+        vignette_map = 1.0 - vig_strength * r2
+        # Response: G maps irradiance [0,255] -> pixel value [0,255].
+        response = 255.0 * (np.linspace(0, 1, 256) ** gamma_pow)
+        np.savetxt(os.path.join(out, "pcalib.txt"),
+                   response[None], fmt="%.6f")
+        vim = (vignette_map * 65535.0).astype(np.uint16)
+        Image.fromarray(vim, mode="I;16").save(
+            os.path.join(out, "vignette.png"))
+
     img_dir = os.path.join(out, "images")
     os.makedirs(img_dir, exist_ok=True)
 
     with open(os.path.join(out, "times.txt"), "w") as tf:
         for i, ts in enumerate(seq["timestamps"]):
             name = f"{i:05d}"
-            img = np.clip(np.asarray(seq["images"][i]) * exposures[i],
-                          0, 255).astype(np.uint8)
+            frame = np.asarray(seq["images"][i]) * exposures[i]
+            if photometric:
+                irr = np.clip(frame * vignette_map, 0, 255)
+                img = np.interp(irr, np.arange(256), response)
+                img = np.clip(np.round(img), 0, 255).astype(np.uint8)
+            else:
+                img = np.clip(frame, 0, 255).astype(np.uint8)
             Image.fromarray(img).save(os.path.join(img_dir, name + ".png"))
             tf.write(f"{name} {ts:.6f} {exposures[i]:.6f}\n")
 

@@ -139,4 +139,4 @@ def test_mesh_accuracy_vs_gt(runs, seq):
     ate = trajectory.ate_rmse(est_t, gt_t, with_scale=True)
     dist = np.sum(np.linalg.norm(np.diff(
         np.stack([g[2] for g in gt_t]), axis=0), axis=1))
-    assert ate < 0.10 * dist + 0.02, (ate, dist)
+    assert ate < 0.06 * dist + 0.01, (ate, dist)

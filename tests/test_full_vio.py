@@ -57,9 +57,10 @@ def test_vio_activates(vio_run):
     fs, seq = vio_run
     assert fs.initialized
     assert fs.imu.phase == imu_system.ACTIVE, fs.imu.phase
-    # A few transiently-untracked frames are tolerated (the system predicts
-    # through them); systematic loss is not.
-    assert fs.stats_lost_frames < 0.15 * N_FRAMES, fs.stats_lost_frames
+    # At the reference's operating point lost frames are an abort
+    # condition (FullSystem.cpp:1032-1035); this run tracks every frame
+    # (measured 0 lost) — allow at most a couple of transient losses.
+    assert fs.stats_lost_frames <= 2, fs.stats_lost_frames
 
 
 def test_vio_metric_scale(vio_run):
@@ -94,12 +95,13 @@ def test_vio_metric_trajectory(vio_run):
     ate_sim3 = trajectory.ate_rmse(est_tail, gt_tail, with_scale=True)
     dist = np.sum(np.linalg.norm(np.diff(
         np.stack([g[2] for g in gt_tail]), axis=0), axis=1))
-    # Current accuracy on this aggressive synthetic (fast rotation, speeds
-    # to 3 m/s, 192x256): shape (sim3) ~5%, metric (se3) adds the scale
-    # residual of the init-fixed scale vs window drift. The continuous
-    # scale refinement (delayed marginalization + PGBA) tightens se3.
-    assert ate_sim3 < 0.10 * dist + 0.02, (ate_sim3, dist)
-    assert ate_se3 < 0.25 * dist + 0.02, (ate_se3, dist)
+    # Measured accuracy on this aggressive synthetic (fast rotation,
+    # speeds to ~1.5 m/s, 192x256) after the round-3 scale work
+    # (init-marginal-seeded adoption ratchet + the activation prior in the
+    # delayed log's base event): sim3 0.83%, se3 3.29% of path. Gates at
+    # ~2x those margins so regressions of the scale chain fail loudly.
+    assert ate_sim3 < 0.04 * dist + 0.01, (ate_sim3, dist)
+    assert ate_se3 < 0.08 * dist + 0.01, (ate_se3, dist)
 
 
 def test_vio_state_streams(vio_run):

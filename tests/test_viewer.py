@@ -91,3 +91,44 @@ def test_full_system_publishes_depth(tmp_path):
     fid, npts, has_img = sink.depths[-1]
     assert npts > 20 and has_img
     assert len(sink.graphs) > 0 and len(sink.graphs[-1]) >= 2
+
+
+def test_live_viewer_serves_state():
+    """LiveViewer (io/live_viewer.py): the HTTP equivalent of the
+    reference's live Pangolin observer — serves the page, the state JSON
+    and the depth JPEG while events stream in."""
+    import json
+    import urllib.request
+
+    import numpy as np
+
+    from dmvio_tpu.io.live_viewer import LiveViewer
+    from dmvio_tpu.io import output_wrapper as ow
+
+    v = LiveViewer(port=0)
+    try:
+        base = f"http://127.0.0.1:{v.port}"
+        # Feed observer events like the pipeline would.
+        for i in range(5):
+            R = np.eye(3)
+            v.publish_cam_pose(i, 0.05 * i, R, np.array([0.01 * i, 0, 0]))
+        v.publish_keyframes({0: (np.eye(3), np.zeros(3)),
+                             3: (np.eye(3), np.array([0.03, 0, 0]))})
+        v.publish_system_status(ow.VISUAL_INERTIAL)
+        v.publish_transform_dso_to_imu(0.42, np.zeros(2))
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (48, 64)).astype(np.float32)
+        v.push_depth_image(3, np.array([5, 10, 20]), np.array([7, 14, 28]),
+                           np.array([0.5, 1.0, 2.0]), img=img)
+
+        page = urllib.request.urlopen(base + "/", timeout=10).read()
+        assert b"dmvio_tpu live" in page
+        st = json.loads(urllib.request.urlopen(
+            base + "/state.json", timeout=10).read())
+        assert st["frame"] == 4 and len(st["traj"]) == 5
+        assert st["n_kfs"] == 2 and st["status"] == ow.VISUAL_INERTIAL
+        assert abs(st["scale"] - 0.42) < 1e-9
+        jpg = urllib.request.urlopen(base + "/depth.jpg", timeout=10).read()
+        assert jpg[:2] == b"\xff\xd8"   # JPEG magic
+    finally:
+        v.close()
