@@ -1744,15 +1744,16 @@ class FullSystem:
         if fej_np is not None:
             fej_snap = imu.build_kf_snapshot(fej_np[:6], ev_slot_fids)
             st0 = (float(fej_np[6]), np.asarray(fej_np[7], np.float64))
-        for s_ in victims:
-            imu.record_marg_event(
-                ev_slot_fids[s_], ev_slots, ev_slot_fids,
-                H_ev, b_ev, w.frames, removed_pairs, slot_fid_map,
-                fej_snapshot=fej_snap, st0=st0)
-            # Only the first event carries the quadratic content.
-            H_ev = np.zeros((C_ext, C_ext))
-            b_ev = np.zeros(C_ext)
-            removed_pairs = []
+        with TimeMeasurement("vio_marg_events"):
+            for s_ in victims:
+                imu.record_marg_event(
+                    ev_slot_fids[s_], ev_slots, ev_slot_fids,
+                    H_ev, b_ev, w.frames, removed_pairs, slot_fid_map,
+                    fej_snapshot=fej_snap, st0=st0)
+                # Only the first event carries the quadratic content.
+                H_ev = np.zeros((C_ext, C_ext))
+                b_ev = np.zeros(C_ext)
+                removed_pairs = []
         # 2) Per-victim: diagonal priors into HM, Schur, free the slot.
         Cv = ba_solve.cdim(F)
         for s in victims:
