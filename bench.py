@@ -243,8 +243,14 @@ def bench_vio():
             t_active = time.perf_counter() - t_start
             n_active = n_warm
         if fs.initialized and fs.imu.phase == imu_system.ACTIVE \
-                and getattr(fs.imu, "pgba_count", 0) >= 1 \
+                and getattr(fs.imu, "pgba_count", 0) >= 2 \
+                and getattr(fs.imu, "_pgba_bg", None) is None \
+                and fs._kf_finalize is None \
                 and fs.stats_kf >= cfg.max_frames + 4 and n_warm >= 48:
+            # Steady state: >=2 PGBA cycles done (the FIRST adoption's
+            # prior replacement is a ~300ms one-off), none in flight, no
+            # deferred keyframe pending — one-offs stay out of the timed
+            # region.
             break
     cold = {}
     if t_active is not None:

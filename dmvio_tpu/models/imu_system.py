@@ -30,8 +30,6 @@ from dmvio_tpu.models import delayed, imu_init, pgba, vio_ba, vio_coarse
 from dmvio_tpu.ops import ba_solve, preint
 from dmvio_tpu.utils.timing import TimeMeasurement
 
-FRAME_IMU_CAP = 64     # max samples between consecutive frames
-KF_IMU_CAP = 1024      # max samples between consecutive keyframes
 # Rolling init window length. Longer windows are NOT better here: poses are
 # resolved against keyframes frozen at their marginalization time, so old
 # entries live in a drifted window gauge and poison the fit (the reference
@@ -72,15 +70,9 @@ class IMUCalib:
     pgba_max_kfs: int = 100
 
 
-def _pad_chunk(acc, gyr, dts, cap):
-    n = min(len(dts), cap)
-    a = np.zeros((cap, 3), np.float32)
-    g = np.zeros((cap, 3), np.float32)
-    d = np.zeros((cap,), np.float32)
-    a[:n] = acc[:n]
-    g[:n] = gyr[:n]
-    d[:n] = dts[:n]
-    return jnp.asarray(a), jnp.asarray(g), jnp.asarray(d)
+# (Chunk preintegration runs on the host in f64 — preint.preintegrate_np,
+# vectorized — and uploads once via preint.state_from_np; the former
+# padded on-device scans and their FRAME/KF sample caps are gone.)
 
 
 class IMUSystem:
@@ -159,12 +151,18 @@ class IMUSystem:
         self._kf_gyr.append(np.asarray(gyr, np.float32))
         self._kf_dts.append(np.asarray(dts, np.float32))
         self._kf_fids.append(int(fid))
-        a, g, d = _pad_chunk(acc, gyr, dts, FRAME_IMU_CAP)
-        self.last_frame_pre = preint.preintegrate_jit(a, g, d, jnp.zeros(6))
+        # One host f64 preintegration per frame. Outside ACTIVE the coarse
+        # bias is zero, so the same result serves both consumers: the
+        # coarse filter (host dict) and the init window's device preint
+        # (uploaded via state_from_np — replaces a padded FRAME_IMU_CAP
+        # device scan per frame). In ACTIVE the init window is closed and
+        # the device twin has no consumer.
         bias_np = (self.coarse.bias if self.coarse is not None
                    else np.zeros(6))
         self.last_frame_pre_np = preint.preintegrate_np(acc, gyr, dts,
                                                         bias_np)
+        self.last_frame_pre = (None if self.phase == ACTIVE else
+                               preint.state_from_np(self.last_frame_pre_np))
 
     def frame_chunk(self):
         """Snapshot of the just-ingested frame chunk (for the realtime
@@ -453,11 +451,14 @@ class IMUSystem:
         acc = np.concatenate(self._kf_acc[:n_take])
         gyr = np.concatenate(self._kf_gyr[:n_take])
         dts = np.concatenate(self._kf_dts[:n_take])
-        a, g, d = _pad_chunk(acc, gyr, dts, KF_IMU_CAP)
         blin_np = np.zeros(6) if self.init_result is None else \
             np.asarray(self.init_result.bias)
-        pre = preint.preintegrate_jit(a, g, d, jnp.asarray(blin_np))
+        # ONE host f64 preintegration; the device twin is the same result
+        # uploaded (preint.state_from_np) — replaces a padded KF_IMU_CAP
+        # on-device f32 scan whose pad + H2D + dispatch cost ~10 ms on the
+        # keyframe critical path for a LESS accurate result.
         pre_np = preint.preintegrate_np(acc, gyr, dts, blin_np)
+        pre = preint.state_from_np(pre_np)
         del self._kf_acc[:n_take]
         del self._kf_gyr[:n_take]
         del self._kf_dts[:n_take]
@@ -499,24 +500,46 @@ class IMUSystem:
                 and self._device_pairs_key == key:
             return self._device_pairs_cache
         Q = self.f_max - 1
-        pres = []
         iis = np.zeros(Q, np.int32)
         jjs = np.zeros(Q, np.int32)
         val = np.zeros(Q, bool)
-        if self._identity_pre is None:
-            self._identity_pre = preint.identity_preint(jnp.zeros(6))
-        for q in range(Q):
-            if q < len(self.pairs):
-                i, j, pre = self.pairs[q][:3]
-                iis[q] = i
-                jjs[q] = j
-                val[q] = True
-                pres.append(pre)
-            else:
-                pres.append(self._identity_pre)
-        pre_b = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pres)
-        out = vio_ba.IMUPairs(pre=pre_b, i=jnp.asarray(iis),
-                              j=jnp.asarray(jjs), valid=jnp.asarray(val))
+        for q, tup in enumerate(self.pairs[:Q]):
+            iis[q], jjs[q], val[q] = tup[0], tup[1], True
+        if all(len(t) > 3 and t[3] is not None for t in self.pairs[:Q]):
+            # Host-stack from the f64 preints and upload ONCE (the
+            # device-side tree_map/stack of Q preints costs ~7 ms of
+            # dispatch work on the keyframe path).
+            def stk(name, shape):
+                a = np.zeros((Q,) + shape, np.float32)
+                if name == "dR":
+                    a[:] = np.eye(3, dtype=np.float32)
+                for q, tup in enumerate(self.pairs[:Q]):
+                    a[q] = np.asarray(tup[3][name], np.float32)
+                return a
+
+            pre_b = preint.PreintState(
+                dR=stk("dR", (3, 3)), dv=stk("dv", (3,)),
+                dp=stk("dp", (3,)),
+                dt=np.asarray([np.float32(t[3]["dt"])
+                               for t in self.pairs[:Q]]
+                              + [np.float32(0.0)] * (Q - min(Q, len(self.pairs))),
+                              np.float32),
+                dR_dbg=stk("dR_dbg", (3, 3)), dv_dbg=stk("dv_dbg", (3, 3)),
+                dv_dba=stk("dv_dba", (3, 3)), dp_dbg=stk("dp_dbg", (3, 3)),
+                dp_dba=stk("dp_dba", (3, 3)), cov=stk("cov", (9, 9)),
+                bias_lin=stk("bias_lin", (6,)))
+            out = jax.device_put(vio_ba.IMUPairs(
+                pre=pre_b, i=iis, j=jjs, valid=val))
+        else:
+            # Fallback (e.g. checkpoints without host preints): stack the
+            # stored device preints.
+            if self._identity_pre is None:
+                self._identity_pre = preint.identity_preint(jnp.zeros(6))
+            pres = [tup[2] for tup in self.pairs[:Q]]
+            pres += [self._identity_pre] * (Q - len(pres))
+            pre_b = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pres)
+            out = vio_ba.IMUPairs(pre=pre_b, i=jnp.asarray(iis),
+                                  j=jnp.asarray(jjs), valid=jnp.asarray(val))
         self._device_pairs_cache = out
         self._device_pairs_key = key
         # Keep the keyed tuples alive so a freed tuple's id cannot be

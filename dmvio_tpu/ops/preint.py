@@ -80,6 +80,29 @@ class PreintState(NamedTuple):
     bias_lin: jnp.ndarray  # [6] bias linearization point [bg, ba]
 
 
+def state_from_np(pre_np: dict) -> PreintState:
+    """Device PreintState from a host preintegration dict (ONE device_put
+    of the whole pytree; the f64 host result cast to f32 — at least as
+    accurate as the padded on-device f32 scan it replaces, and ~10x
+    cheaper to produce on the keyframe path)."""
+    import jax
+    import numpy as np
+
+    return jax.device_put(PreintState(
+        dR=np.asarray(pre_np["dR"], np.float32),
+        dv=np.asarray(pre_np["dv"], np.float32),
+        dp=np.asarray(pre_np["dp"], np.float32),
+        dt=np.float32(pre_np["dt"]),
+        dR_dbg=np.asarray(pre_np["dR_dbg"], np.float32),
+        dv_dbg=np.asarray(pre_np["dv_dbg"], np.float32),
+        dv_dba=np.asarray(pre_np["dv_dba"], np.float32),
+        dp_dbg=np.asarray(pre_np["dp_dbg"], np.float32),
+        dp_dba=np.asarray(pre_np["dp_dba"], np.float32),
+        cov=np.asarray(pre_np["cov"], np.float32),
+        bias_lin=np.asarray(pre_np["bias_lin"], np.float32),
+    ))
+
+
 def identity_preint(bias: jnp.ndarray) -> PreintState:
     I = jnp.eye(3, dtype=jnp.float32)
     Z = jnp.zeros((3, 3), jnp.float32)
