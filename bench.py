@@ -259,9 +259,14 @@ def bench_vio():
     if os.environ.get("BENCH_VERBOSE"):
         from dmvio_tpu.utils import timing as _timing
         _timing.reset()   # stage stats then cover the measured region only
+    trace_dir = os.environ.get("BENCH_TRACE")
     t0 = time.perf_counter()
     fts = []
     for i in range(n_warm, n_warm + N_MEAS):
+        if trace_dir and i == n_warm + 10:
+            jax.profiler.start_trace(trace_dir)
+        if trace_dir and i == n_warm + 30:
+            jax.profiler.stop_trace()
         ft = time.perf_counter()
         fs.add_frame(seq["images"][i], float(seq["timestamps"][i]),
                      imu_data=chunk(i))
