@@ -214,6 +214,8 @@ def bench_vio():
                         levels=6, ba_iters=6,
                         realtime=bool(int(os.environ.get(
                             "BENCH_VIO_RT", "1"))))
+    if os.environ.get("BENCH_RT_DEPTH"):
+        cfg.rt_depth_max = int(os.environ["BENCH_RT_DEPTH"])
     fs = full_system.FullSystem(seq["calib"], H, W, cfg,
                                 imu_calib=imu_system.IMUCalib())
     spf = seq["steps_per_frame"]

@@ -1509,7 +1509,8 @@ class FullSystem:
             with TimeMeasurement("pgba_maybe"):
                 adopted = imu.maybe_run_pgba(
                     w.frames, w.slot_frame_id,
-                    active_event_fn=self._active_visual_event)
+                    active_event_fn=self._active_visual_event,
+                    submit_fn=self._fetcher.submit)
             F_ = self.cfg.f_max
             R_np = pose_pack[:9 * F_].reshape(F_, 3, 3)[slot]
             t_np = pose_pack[9 * F_:12 * F_].reshape(F_, 3)[slot]

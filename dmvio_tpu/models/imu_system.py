@@ -75,6 +75,21 @@ class IMUCalib:
 # padded on-device scans and their FRAME/KF sample caps are gone.)
 
 
+@jax.jit
+def _seed_slot_states_jit(st, new_slot, prev_slot, v_pred, use_pred):
+    """Seed a fresh keyframe slot's inertial states from its predecessor
+    (velocity from the coarse prediction when available) in one program."""
+    v_new = jnp.where(use_pred, v_pred, st.v[prev_slot])
+    return st._replace(
+        v=st.v.at[new_slot].set(v_new),
+        v0=st.v0.at[new_slot].set(v_new),
+        bg=st.bg.at[new_slot].set(st.bg[prev_slot]),
+        bg0=st.bg0.at[new_slot].set(st.bg[prev_slot]),
+        ba=st.ba.at[new_slot].set(st.ba[prev_slot]),
+        ba0=st.ba0.at[new_slot].set(st.ba[prev_slot]),
+    )
+
+
 class IMUSystem:
     """All inertial state surrounding the visual window."""
 
@@ -128,6 +143,9 @@ class IMUSystem:
         self._device_pairs_cache = None
         self._device_pairs_key = ()
         self._identity_pre = None
+        # Async PGBA snapshot in flight (realtime pipeline; see
+        # maybe_run_pgba).
+        self._pgba_pending = None
 
     # -- per-frame ingestion ------------------------------------------------
     def add_frame_imu(self, acc, gyr, dts, fid: int = -1) -> None:
@@ -475,16 +493,15 @@ class IMUSystem:
         if pre is not None and prev_slot is not None and prev_slot >= 0:
             self.pairs.append((prev_slot, new_slot, pre, pre_np))
         st = self.states
-        v_new = jnp.asarray(pred_v, jnp.float32) if pred_v is not None \
-            else st.v[prev_slot]
-        self.states = st._replace(
-            v=st.v.at[new_slot].set(v_new),
-            v0=st.v0.at[new_slot].set(v_new),
-            bg=st.bg.at[new_slot].set(st.bg[prev_slot]),
-            bg0=st.bg0.at[new_slot].set(st.bg[prev_slot]),
-            ba=st.ba.at[new_slot].set(st.ba[prev_slot]),
-            ba0=st.ba0.at[new_slot].set(st.ba[prev_slot]),
-        )
+        use_pred = pred_v is not None
+        v_pred = jnp.asarray(pred_v if use_pred else np.zeros(3),
+                             jnp.float32)
+        # One fused dispatch (was six .at[].set chains on the keyframe
+        # critical path).
+        self.states = _seed_slot_states_jit(
+            st, jnp.asarray(new_slot, jnp.int32),
+            jnp.asarray(prev_slot, jnp.int32), v_pred,
+            jnp.asarray(use_pred))
 
     def device_pairs(self) -> vio_ba.IMUPairs:
         """Stacked device form of the window's KF-to-KF pairs.
@@ -722,10 +739,19 @@ class IMUSystem:
     pgba_background = False
 
     def maybe_run_pgba(self, frames_dev, slot_fids,
-                       active_event_fn=None, every: int = 6) -> bool:
+                       active_event_fn=None, every: int = 6,
+                       submit_fn=None) -> bool:
         """Trigger PGBA periodically; adopt its result when the scale
         marginal improves (threshold-gated transitions,
-        IMUInitializerTransitions.h:62-163)."""
+        IMUInitializerTransitions.h:62-163).
+
+        submit_fn (the realtime pipeline's fetch-pool submit) makes the
+        snapshot fetch ASYNCHRONOUS: the trigger keyframe dispatches the
+        programs and submits the copy; the NEXT keyframe's finalize
+        consumes it and starts the optimization. Right behind a keyframe
+        tail even the batched one-RTT fetch measured ~120 ms of critical
+        path (it must drain the queued tail first); deferring one KF costs
+        nothing — PGBA optimizes a snapshot by design."""
         if self.phase != ACTIVE or self.states is None:
             return False
         if self.calib.transition_model == 5:
@@ -743,32 +769,50 @@ class IMUSystem:
             if res is not None and res.ok:
                 return self._adopt_pgba(res, frames_dev, slot_fids)
             return False
+        # A pending async snapshot from the trigger keyframe: its copy
+        # landed during the frames since — build inputs and start.
+        pending = getattr(self, "_pgba_pending", None)
+        if pending is not None:
+            self._pgba_pending = None
+            with TimeMeasurement("pgba_snapshot"):
+                win_pack, ev_pack, st_np = pending["future"].result()
+                win = self.build_kf_snapshot(win_pack,
+                                             pending["slot_fids"])
+                active_event = (pending["ev_build"](ev_pack)
+                                if pending["ev_build"] else None)
+            return self._start_pgba(win, active_event, st_np,
+                                    frames_dev, slot_fids)
         self.kf_since_pgba += 1
         if self.kf_since_pgba < every or len(self.delayed_log.events) < 8:
             return False
         self.kf_since_pgba = 0
         self.pgba_count = getattr(self, "pgba_count", 0) + 1
+        st = self.states
+        ev_disp = (active_event_fn()
+                   if active_event_fn is not None else None)
+        win_refs = ((frames_dev.R_cw, frames_dev.t_cw, frames_dev.aff,
+                     st.v, st.bg, st.ba)
+                    if frames_dev is not None else None)
+        refs = (win_refs, ev_disp[0] if ev_disp else None,
+                (st.s_log, st.g2))
+        if submit_fn is not None and win_refs is not None:
+            # Async: copy rides the fetch pool; consumed next keyframe.
+            self._pgba_pending = dict(
+                future=submit_fn(refs), slot_fids=list(slot_fids),
+                ev_build=ev_disp[1] if ev_disp else None)
+            return False
         with TimeMeasurement("pgba_snapshot"):
-            # ONE link round trip for the whole snapshot: window states,
-            # the active-visual-event quadratic (dispatch half returns
-            # device refs + a host builder), and scale/gravity. Each
-            # separate device_get costs a fixed ~30-55 ms (docs/PERF.md);
-            # the old sequential form burned four of them per PGBA cycle
-            # on the keyframe critical path.
-            st = self.states
-            ev_disp = (active_event_fn()
-                       if active_event_fn is not None else None)
-            win_refs = ((frames_dev.R_cw, frames_dev.t_cw, frames_dev.aff,
-                         st.v, st.bg, st.ba)
-                        if frames_dev is not None else None)
-            win_pack, ev_pack, st_np = jax.device_get(
-                (win_refs, ev_disp[0] if ev_disp else None,
-                 (st.s_log, st.g2)))
+            win_pack, ev_pack, st_np = jax.device_get(refs)
             win = (self.build_kf_snapshot(win_pack, slot_fids)
                    if win_pack is not None
                    else self.snapshot_kf_states(frames_dev, slot_fids,
                                                 use_fej=False))
             active_event = ev_disp[1](ev_pack) if ev_disp else None
+        return self._start_pgba(win, active_event, st_np, frames_dev,
+                                slot_fids)
+
+    def _start_pgba(self, win, active_event, st_np, frames_dev,
+                    slot_fids) -> bool:
         if self.pgba_background:
             import threading
 
