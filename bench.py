@@ -276,6 +276,13 @@ def bench_vio():
     fs.finish()
     dt = time.perf_counter() - t0
     _dump_frametimes("vio", fts, dt)
+    # Steady-state diagnostic alongside the honest wall-clock headline:
+    # the link's random 100-500 ms stalls (docs/PERF.md) tank the mean but
+    # not the median, so the pair separates "system got slower" from
+    # "link had a bad day".
+    med = sorted(fts)[len(fts) // 2]
+    if med > 0:
+        cold["vio_median_frame_fps"] = round(1.0 / med, 3)
     return N_MEAS / dt, int(fs.imu.phase), cold
 
 
