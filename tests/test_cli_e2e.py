@@ -120,3 +120,31 @@ def test_cli_photometric_calibration(cli_run, native):
     ate_c, dist_c = _ate_of_run(data_c, out_c)
     assert ate_p < 0.08 * dist_p + 0.02, (ate_p, dist_p)
     assert ate_p < 2.5 * ate_c + 0.01, (ate_p, ate_c)
+
+
+def test_cli_vio_realtime_second_seed():
+    """Second-seed VIO discipline (CLAUDE.md: gate accuracy-relevant
+    behavior on >=2 seeds): the full inertial system through the CLI in
+    REALTIME pipelined mode (preset=1) on a seed none of the fixtures use,
+    at the generator's default shape. Covers the async PGBA snapshot path
+    (imu_system.maybe_run_pgba submit_fn=) end to end. Measured 1.7% of
+    path sim3 / 5.7% se3-metric on this seed (round 3); gated at ~2x."""
+    data = tempfile.mkdtemp(prefix="cli_e2e_s7_data_")
+    out = tempfile.mkdtemp(prefix="cli_e2e_s7_out_") + "/"
+    make_synthetic.main([f"out={data}", "seed=7"])
+    run_dataset.run([
+        f"files={data}/images", f"calib={data}/camera.txt",
+        f"tsFile={data}/times.txt", f"imuFile={data}/imu.txt",
+        "useimu=1", "preset=1", f"resultsPrefix={out}", "quiet=1",
+    ])
+    gt = trajectory.read_tum(os.path.join(data, "gt.csv"))
+    Q = np.stack([g[2] for g in gt])
+    dist = float(np.sum(np.linalg.norm(np.diff(Q, axis=0), axis=1)))
+    est = trajectory.read_tum(out + "result.txt")
+    n = min(len(est), len(gt))
+    ate_sim3 = trajectory.ate_rmse(est[:n], gt[:n])
+    est_s = trajectory.read_tum(out + "resultScaled.txt")
+    ns = min(len(est_s), len(gt))
+    ate_se3 = trajectory.ate_rmse(est_s[:ns], gt[:ns], with_scale=False)
+    assert ate_sim3 < 0.04 * dist + 0.01, (ate_sim3, dist)
+    assert ate_se3 < 0.10 * dist + 0.01, (ate_se3, dist)
