@@ -155,7 +155,9 @@ def test_vio_realtime_pipeline(vio_run):
     fs.finish()
     assert fs.initialized
     assert fs.imu.phase == imu_system.ACTIVE, fs.imu.phase
-    assert fs.stats_lost_frames < 0.15 * N_FRAMES, fs.stats_lost_frames
+    # Measured 0 lost frames (round 3); at the reference's operating point
+    # lost frames are an abort condition (FullSystem.cpp:1032-1035).
+    assert fs.stats_lost_frames <= 2, fs.stats_lost_frames
     est = fs.metric_trajectory()
     assert est is not None
     gt = [(float(seq["timestamps"][i]), np.asarray(seq["R_body"][i]),
@@ -169,8 +171,10 @@ def test_vio_realtime_pipeline(vio_run):
     ate_se3 = trajectory.ate_rmse(est_tail, gt_tail, with_scale=False)
     dist = np.sum(np.linalg.norm(np.diff(
         np.stack([g[2] for g in gt_tail]), axis=0), axis=1))
-    assert ate_sim3 < 0.10 * dist + 0.02, (ate_sim3, dist)
-    assert ate_se3 < 0.25 * dist + 0.02, (ate_se3, dist)
+    # Measured 0.62% of path sim3 / 1.49% se3 (round 3); gated ~4x over
+    # (the synthetic ATE is chaotic under 1e-5 perturbations, CLAUDE.md).
+    assert ate_sim3 < 0.03 * dist + 0.01, (ate_sim3, dist)
+    assert ate_se3 < 0.06 * dist + 0.01, (ate_se3, dist)
 
 
 def test_vio_rotated_rig_metric():
@@ -219,6 +223,7 @@ def test_vio_rotated_rig_metric():
     ate_se3 = trajectory.ate_rmse(est_tail, gt_tail, with_scale=False)
     dist = np.sum(np.linalg.norm(np.diff(
         np.stack([g[2] for g in gt_tail]), axis=0), axis=1))
-    # Same tolerances as the identity-rig metric test.
-    assert ate_sim3 < 0.10 * dist + 0.02, (ate_sim3, dist)
-    assert ate_se3 < 0.25 * dist + 0.02, (ate_se3, dist)
+    # Measured 1.12% of path sim3 / 8.55% se3 (round 3); sim3 gated ~4x
+    # over, se3 ~1.7x (the rotated rig's lever arm amplifies scale error).
+    assert ate_sim3 < 0.04 * dist + 0.01, (ate_sim3, dist)
+    assert ate_se3 < 0.15 * dist + 0.01, (ate_se3, dist)
