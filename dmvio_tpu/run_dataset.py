@@ -20,6 +20,56 @@ import time
 import numpy as np
 
 
+def _prewarm(cfg, h, w, imu_calib, quiet=False, n=60):
+    """Populate every steady-state jit cache before the real stream.
+
+    XLA compiles (or loads from the persistent cache) each program on
+    first use; measured at the 512x512 operating point those one-offs
+    cost ~30 s concentrated in six early frames — the initializer GN, the
+    first keyframe tail, the first inertial BA, the IMU-init LM — while
+    steady init-phase frames run 5-90 ms (docs/PERF.md). The reference is
+    realtime from frame 0 because its C++ ships precompiled
+    (settingsDefault has no warmup notion, MainSettings.cpp:205-236); the
+    XLA equivalent is one throwaway pass at the SAME shapes and config:
+    the jitted programs are module-level, so their caches carry over to
+    the real system, which then starts warm at frame 0."""
+    import copy
+
+    from dmvio_tpu.models import full_system, imu_system
+    from dmvio_tpu.utils import synthetic
+
+    t0 = time.perf_counter()
+    seq = synthetic.generate_vio_sequence(
+        n_frames=n, frame_dt=0.05, h=h, w=w, s_dso=1.3, g2=(0.05, -0.03),
+        accel_scale=0.5, rot_scale=0.3, seed=2,
+        scene=synthetic.default_scene(depth=2.0))
+    fs = full_system.FullSystem(seq["calib"], h, w, cfg,
+                                imu_calib=copy.deepcopy(imu_calib))
+    spf = seq["steps_per_frame"]
+    for i in range(n):
+        chunk = None
+        if i > 0 and imu_calib is not None:
+            s0, s1 = (i - 1) * spf, i * spf
+            chunk = (seq["acc"][s0:s1], seq["gyr"][s0:s1],
+                     np.full(s1 - s0, seq["imu_dt"], np.float32))
+        fs.add_frame(seq["images"][i], float(seq["timestamps"][i]),
+                     imu_data=chunk)
+        # Warm PAST the one-offs: IMU active, >=1 PGBA cycle done, a few
+        # post-activation keyframe tails compiled (visual-only: a full
+        # window plus a few marginalizations).
+        warm_kfs = fs.initialized and fs.stats_kf >= cfg.max_frames + 3
+        if fs.imu is None:
+            if warm_kfs:
+                break
+        elif warm_kfs and fs.imu.phase == imu_system.ACTIVE \
+                and getattr(fs.imu, "pgba_count", 0) >= 1:
+            break
+    fs.finish()
+    if not quiet:
+        print(f"prewarm: compiled in {time.perf_counter() - t0:.1f}s "
+              f"({fs.stats_kf} keyframes)", file=sys.stderr)
+
+
 def run(argv=None) -> dict:
     argv = argv if argv is not None else sys.argv[1:]
     from dmvio_tpu.io import dataset as ds
@@ -44,6 +94,8 @@ def run(argv=None) -> dict:
         ("resultsPrefix", "./"), ("settingsFile", ""), ("camchain", ""),
         ("preset", 0), ("nogui", 1), ("quiet", 0), ("useimu", 0),
         ("maxFrames", -1), ("start", 0), ("nativeLoader", 1),
+        ("prewarm", 0),      # compile every program before frame 0
+
         ("viewerPort", 8765),   # nogui=0 live HTTP viewer (0 = ephemeral)
         # IMU noise model + init knobs under the REFERENCE's yaml names so
         # the stock per-dataset configs (configs/tumvi.yaml etc.) apply
@@ -162,6 +214,9 @@ def run(argv=None) -> dict:
     if su["nativeLoader"] and su["start"] == 0:
         if reader.start_native() and not su["quiet"]:
             print("native prefetch pipeline active")
+
+    if su["prewarm"]:
+        _prewarm(cfg, h, w, imu_calib, quiet=bool(su["quiet"]))
 
     t_start = time.perf_counter()
     for i in range(su["start"], n):
