@@ -256,3 +256,16 @@ def test_run_with_source_async_sensor():
     # kept a contiguous inertial stream.
     assert 0 < n_processed <= N
     assert len(fs.shells) == n_processed
+
+
+def test_prewarm_smoke():
+    """run_dataset prewarm=1 seam: the throwaway warm pass must run a
+    full init-to-steady-state cycle at the given shapes/config and leave
+    no residue (its FullSystem is discarded). Tiny shapes keep it cheap;
+    the shape-transfer benefit is measured on hardware in docs/PERF.md."""
+    from dmvio_tpu.models import window
+    from dmvio_tpu.run_dataset import _prewarm
+
+    cfg = window.Config(f_max=4, p_max=128, i_max=128, max_frames=3,
+                        levels=3, ba_iters=2)
+    _prewarm(cfg, 96, 128, None, quiet=True, n=16)
