@@ -719,6 +719,7 @@ class FullSystem:
             imu.phase = imu_system.COARSE_INIT
             imu.states = None
             imu.pairs = []
+            imu._pending_pairs = []
             imu.coarse = None
             imu._init_poses.clear()
             imu._init_pres.clear()
@@ -932,8 +933,12 @@ class FullSystem:
                       if self.imu.coarse is not None else None)
             # upto_fid (realtime): younger in-flight frames' samples are
             # already buffered — the KF-to-KF chunk stops at this keyframe.
+            prev_fid = (w.slot_frame_id[prev_slot]
+                        if prev_slot is not None and prev_slot >= 0
+                        else None)
             self.imu.on_new_keyframe(prev_slot, slot, pred_v,
-                                     upto_fid=upto_fid)
+                                     upto_fid=upto_fid,
+                                     fids=(prev_fid, fid))
 
         with TimeMeasurement("activate"):
             self._activate_points(slot)
@@ -1408,7 +1413,11 @@ class FullSystem:
         # The KF-to-KF chunk stops at this keyframe's frame id: younger
         # in-flight frames' samples are already buffered and stay.
         with TimeMeasurement("imu_kf_pair"):
-            imu.on_new_keyframe(prev_slot, slot, pred_v, upto_fid=upto_fid)
+            prev_fid = (w.slot_frame_id[prev_slot]
+                        if prev_slot is not None and prev_slot >= 0
+                        else None)
+            imu.on_new_keyframe(prev_slot, slot, pred_v, upto_fid=upto_fid,
+                                fids=(prev_fid, fid))
         with TimeMeasurement("activate"):
             self._activate_points(slot)
         snap = (w.frames, w.points, w.pair_mask, w.calib,

@@ -146,6 +146,9 @@ class IMUSystem:
         # Async PGBA snapshot in flight (realtime pipeline; see
         # maybe_run_pgba).
         self._pgba_pending = None
+        # KF-to-KF preintegrations recorded before ACTIVE, fid-keyed;
+        # consumed by activate() (see on_new_keyframe).
+        self._pending_pairs = []
 
     # -- per-frame ingestion ------------------------------------------------
     def add_frame_imu(self, acc, gyr, dts, fid: int = -1) -> None:
@@ -447,6 +450,24 @@ class IMUSystem:
         prior[Cg + 1:Cg + 3] = 1e4
         self.best_pgba_var = min(self.best_pgba_var, s_var)
         self.prior_diag = prior   # host numpy (see window.py)
+        # Chain the pre-activation keyframes that survived into the
+        # window: their fid-keyed preintegrations (on_new_keyframe) become
+        # live pairs, so anchor keyframes get IMU pose/velocity/bias-walk
+        # factors from frame 0 on — like the reference, whose inertial
+        # factors exist from the first keyframe (BAIMULogic.cpp
+        # addFirstBAFrame onward), not only from activation.
+        fid_to_slot = {f: s for s, f in enumerate(slot_frame_ids)
+                       if f is not None}
+        have = {(t[0], t[1]) for t in self.pairs}
+        for pf, nf, pre, pre_np in self._pending_pairs:
+            sa, sb = fid_to_slot.get(pf), fid_to_slot.get(nf)
+            if sa is None or sb is None or (sa, sb) in have:
+                continue
+            if len(self.pairs) >= F - 1:
+                break
+            self.pairs.append((sa, sb, pre, pre_np))
+            have.add((sa, sb))
+        self._pending_pairs = []
         self.phase = ACTIVE
 
     # -- keyframe-side ------------------------------------------------------
@@ -485,10 +506,27 @@ class IMUSystem:
 
     def on_new_keyframe(self, prev_slot: int, new_slot: int,
                         pred_v: Optional[np.ndarray],
-                        upto_fid: Optional[int] = None) -> None:
-        """Register the KF-to-KF pair and seed the new slot's states."""
+                        upto_fid: Optional[int] = None,
+                        fids: Optional[tuple] = None) -> None:
+        """Register the KF-to-KF pair and seed the new slot's states.
+
+        fids = (prev_kf_frame_id, new_kf_frame_id): before ACTIVE the pair
+        cannot be registered against states that do not exist yet, but the
+        preintegration is kept fid-keyed so `activate` can chain the
+        keyframes that survive into the activation window — otherwise the
+        pre-activation anchors never join the bias/velocity chain at all
+        (measured: fid-0 anchors carried their seed bias forever,
+        docs/ACCURACY.md)."""
         pre, pre_np = self.kf_chunk_preint(upto_fid)
         if self.phase != ACTIVE or self.states is None:
+            if pre is not None and fids is not None \
+                    and fids[0] is not None and fids[1] is not None:
+                self._pending_pairs.append(
+                    (int(fids[0]), int(fids[1]), pre, pre_np))
+                # Only pairs whose BOTH keyframes survive to activation
+                # can ever be used; a window's worth is plenty.
+                if len(self._pending_pairs) > 4 * self.f_max:
+                    del self._pending_pairs[0]
             return
         if pre is not None and prev_slot is not None and prev_slot >= 0:
             self.pairs.append((prev_slot, new_slot, pre, pre_np))
