@@ -216,6 +216,7 @@ def generate_vio_sequence(
     imu_noise: bool = True,
     bias=(0.0,) * 6,
     seed: int = 0,
+    excite: float = 0.0,
     v0=(0.22, -0.06, 0.1),
     R_cb=None,
     t_cb=None,
@@ -246,9 +247,22 @@ def generate_vio_sequence(
     bias = np.asarray(bias, np.float64)
 
     def a_world(t):
-        return accel_scale * np.array([
+        a = accel_scale * np.array([
             np.sin(2.3 * t), 0.8 * np.cos(1.9 * t) + 0.15,
             0.5 * np.sin(1.3 * t + 0.5)])
+        if excite:
+            # Scale-observability excitation: high-frequency, large-
+            # amplitude acceleration (displacement ~ excite/omega^2 stays
+            # centimetric while the specific-force signal is ~excite).
+            # Metric scale is observed through the ratio of accelerometer
+            # signal to visual parallax; the default smooth trajectories
+            # leave a near-flat scale chi^2 valley (docs/ACCURACY.md) —
+            # this is the knob that closes it, mirroring the wiggle
+            # segments TUM-VI-style sequences start with.
+            a = a + excite * np.array([
+                np.sin(6.7 * t), np.cos(7.3 * t + 0.7),
+                0.8 * np.sin(5.9 * t + 0.3)])
+        return a
 
     def w_body(t):
         return rot_scale * np.array([
