@@ -68,6 +68,12 @@ class IMUCalib:
     # whole delayed window is re-optimizable).
     pgba_delay: int = 100
     pgba_max_kfs: int = 100
+    # PGBA trigger cadence in keyframes since the last cycle. The cycle
+    # COUNT is accuracy-relevant on short sequences: each cycle is a
+    # chance to re-adopt a sharper scale estimate (docs/ACCURACY.md
+    # measured 1-cycle vs 3-cycle runs landing in 10.4% vs 2.8% se3
+    # basins), so this is a registered knob (init_pgbaEvery).
+    pgba_every: int = 6
 
 
 # (Chunk preintegration runs on the host in f64 — preint.preintegrate_np,
@@ -777,7 +783,7 @@ class IMUSystem:
     pgba_background = False
 
     def maybe_run_pgba(self, frames_dev, slot_fids,
-                       active_event_fn=None, every: int = 6,
+                       active_event_fn=None, every: Optional[int] = None,
                        submit_fn=None) -> bool:
         """Trigger PGBA periodically; adopt its result when the scale
         marginal improves (threshold-gated transitions,
@@ -821,6 +827,8 @@ class IMUSystem:
             return self._start_pgba(win, active_event, st_np,
                                     frames_dev, slot_fids)
         self.kf_since_pgba += 1
+        if every is None:
+            every = self.calib.pgba_every
         if self.kf_since_pgba < every or len(self.delayed_log.events) < 8:
             return False
         self.kf_since_pgba = 0

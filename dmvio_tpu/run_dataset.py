@@ -110,6 +110,7 @@ def run(argv=None) -> dict:
         ("init_pgba_scaleUncertaintyThresh", 1.0),
         ("init_pgba_reinitScaleUncertaintyThresh", 0.5),
         ("init_pgbaDelay", 100),
+        ("init_pgbaEvery", 6),
     ]:
         su.register(name, default)
     cfg = window.Config()
@@ -167,6 +168,7 @@ def run(argv=None) -> dict:
             pgba_scale_th=su["init_pgba_scaleUncertaintyThresh"],
             pgba_delay=su["init_pgbaDelay"],
             pgba_max_kfs=max(su["init_pgbaDelay"], 8),
+            pgba_every=su["init_pgbaEvery"],
         )
         if su["camchain"]:
             import yaml
