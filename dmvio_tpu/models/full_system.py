@@ -125,8 +125,11 @@ class FullSystem:
         # Fetch pool: device->host copies cost a fixed ~30-55ms round trip
         # on the TPU link; issuing them from worker threads at DISPATCH
         # time overlaps that latency with the host's consume/bookkeeping
-        # work (utils/fetch.py).
-        self._fetcher = fetch.AsyncFetcher(enabled=cfg.async_fetch)
+        # work (utils/fetch.py). Width covers the full stall-depth queue
+        # plus keyframe/PGBA fetches, or queued copies re-serialize.
+        self._fetcher = fetch.AsyncFetcher(
+            enabled=self.cfg.async_fetch,
+            workers=self.cfg.rt_stall_depth + 8)
         self._last_pose_dev = None   # device pose history for candidates
         self._prev_pose_dev = None
         self._last_exposure = None   # previous frame's shutter time
@@ -401,13 +404,14 @@ class FullSystem:
     def _rt_drain(self, keep_last: bool) -> None:
         """Consume in-flight frames whose host copies have landed, oldest
         first. The copies were issued at dispatch time (one per frame, on
-        the fetch pool) so the link round trip overlaps 1-3 frames of
-        dispatch/consume host work; this only BLOCKS when the pipeline
-        exceeds rt_depth_max frames (bounding keyframe-decision lag) or on
-        a full flush. keep_last leaves the newest frame in flight (the
-        steady-state minimum pipeline depth)."""
+        the fetch pool); the pipeline depth self-tunes to the link round
+        trip and this only BLOCKS when it exceeds rt_stall_depth frames
+        (see window.Config) or on a full flush — so neither the steady
+        ~30-55ms round trip nor a 100-500ms stall tail sits on the
+        per-frame critical path. keep_last leaves the newest frame in
+        flight (the steady-state minimum pipeline depth)."""
         keep = 1 if keep_last else 0
-        cap = max(self.cfg.rt_depth_max, keep) if keep_last else 0
+        cap = max(self.cfg.rt_stall_depth, keep) if keep_last else 0
         while len(self._rt_queue) > keep:
             p = self._rt_queue[0]
             if len(self._rt_queue) <= cap and not p["future"].done():
@@ -538,8 +542,18 @@ class FullSystem:
             # A previous keyframe from the same drained batch may still be
             # mid-flight — finish it before building another.
             self._finalize_kf()
-            if self._rt_queue:
-                self.imm = self._rt_queue[0]["imm_before"]
+            # Only the newest rt_redispatch_max in-flight frames re-track
+            # against the fresh reference (older ones are consumed as
+            # tracked — see window.Config.rt_redispatch_max); rewind the
+            # immature pool to just before the first RE-dispatched frame's
+            # trace, keeping the older frames' (pre-keyframe, slightly
+            # stale) traces.
+            n_redispatch = min(len(self._rt_queue),
+                               max(self.cfg.rt_redispatch_max, 0))
+            redispatch = (self._rt_queue[-n_redispatch:]
+                          if n_redispatch else [])
+            if redispatch:
+                self.imm = redispatch[0]["imm_before"]
             with TimeMeasurement("keyframe_total"):
                 if self.imu is not None:
                     # Deferred inertial keyframe: device half now, host
@@ -561,11 +575,17 @@ class FullSystem:
                     self._make_keyframe_rt(p["pyr"], p["ts"], p["fid"],
                                            p["R_cw"], p["t_cw"], p["aff"],
                                            shell_idx=p["shell_idx"])
-            # Re-issue the in-flight frames' tracking against the fresh
-            # reference — extra device dispatches, zero extra host syncs
-            # (the replacement results are consumed at the next drain).
-            for q in self._rt_queue:
-                self._rt_redispatch(q)
+            # Re-issue the newest in-flight frames' tracking against the
+            # fresh reference — extra device dispatches, zero extra host
+            # syncs (the replacement results are consumed at the next
+            # drain). Bounded: at stall depth, redispatching the WHOLE
+            # queue would add O(depth) tracker programs of device time per
+            # keyframe.
+            for q in redispatch:
+                # Identity check (dict == would compare device arrays):
+                # the keyframe build may have reset/emptied the queue.
+                if any(q is x for x in self._rt_queue):
+                    self._rt_redispatch(q)
         self._consec_lost = self._consec_lost + 1 if self.is_lost else 0
         map_dead = self.initialized and self._n_active < 25 \
             and self.stats_kf > 3

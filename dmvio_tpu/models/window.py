@@ -51,14 +51,32 @@ class Config:
     # time, and inertial keyframes finalize deferred with divergence
     # revert (full_system._make_keyframe_rt_vio / _finalize_kf_vio).
     realtime: bool = False
-    # Realtime pipeline depth cap: frames are consumed as soon as their
-    # result copy lands (issued at dispatch time on the fetch pool,
-    # utils/fetch.py — one link round trip is ~30-55ms and overlaps 1-3
-    # frames of host work); the frame loop only blocks when more than this
-    # many frames are in flight, bounding keyframe-decision lag. At camera
-    # rate the copy lands before the next frame, so effective depth is 1
-    # (the reference's pipeline depth, FullSystem.cpp:1124-1320).
-    rt_depth_max: int = 3
+    # Realtime pipeline depth: frames are consumed as soon as their result
+    # copy lands (issued at dispatch time on the fetch pool, utils/fetch.py
+    # — one link round trip is ~30-55ms and overlaps frames of host work).
+    # The frame loop only BLOCKS beyond `rt_stall_depth` in-flight frames:
+    # the pipeline's depth self-tunes to the link latency (a ~40ms round
+    # trip at ~5ms of host work per frame settles near 8 deep) and a link
+    # stall tail (100-500ms events, docs/PERF.md) absorbs into queue depth
+    # instead of stalling every subsequent frame — the round-3 headline's
+    # 2x run-to-run swing was exactly this structural exposure. Keyframe
+    # decisions are made from the consumed frame's own stats, so KF
+    # *cadence in frame index space* is unchanged; only the wall-clock
+    # decision lag grows, bounded by this cap. At camera rate the copy
+    # lands before the next frame, so effective depth stays ~1 (the
+    # reference's pipeline depth, FullSystem.cpp:1124-1320).
+    rt_stall_depth: int = 24
+    # On a keyframe switch, only the newest rt_redispatch_max in-flight
+    # frames are re-tracked against the fresh reference; older ones are
+    # consumed as tracked (against the previous reference — geometrically
+    # consistent, the reference likewise lets stale-tracked frames
+    # through, FullSystem.cpp:978-1002). Default = full redispatch:
+    # measured on the 512x512 CLI synthetic (3 seeds), capping at 3 with
+    # a deep queue systematically degraded se3 ATE 5.1% -> 11.4% (stale
+    # frames starve the trace pool and the IMU init window); the extra
+    # tracker dispatches only bite during link-stall bursts, where device
+    # time is idle anyway.
+    rt_redispatch_max: int = 24
     # Issue device->host result copies from a fetch-thread pool at dispatch
     # time instead of blocking the frame loop (utils/fetch.py). Consume
     # order is unchanged; only the link round trip moves off the critical

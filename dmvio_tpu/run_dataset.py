@@ -20,7 +20,7 @@ import time
 import numpy as np
 
 
-def _prewarm(cfg, h, w, imu_calib, quiet=False, n=60):
+def _prewarm(cfg, h, w, imu_calib, quiet=False, n=60, seed=2):
     """Populate every steady-state jit cache before the real stream.
 
     XLA compiles (or loads from the persistent cache) each program on
@@ -41,7 +41,7 @@ def _prewarm(cfg, h, w, imu_calib, quiet=False, n=60):
     t0 = time.perf_counter()
     seq = synthetic.generate_vio_sequence(
         n_frames=n, frame_dt=0.05, h=h, w=w, s_dso=1.3, g2=(0.05, -0.03),
-        accel_scale=0.5, rot_scale=0.3, seed=2,
+        accel_scale=0.5, rot_scale=0.3, seed=seed,
         scene=synthetic.default_scene(depth=2.0))
     fs = full_system.FullSystem(seq["calib"], h, w, cfg,
                                 imu_calib=copy.deepcopy(imu_calib))

@@ -30,8 +30,8 @@ class AsyncFetcher:
 
     Measured: 8 concurrent device_gets from 8 threads complete in ~one
     round trip (~35 ms) — the link pipelines copies — so the pool must be
-    at least as wide as the realtime pipeline is deep (rt_depth_max frames
-    + a keyframe tail) or queued fetches re-serialize.
+    at least as wide as the realtime pipeline is deep (rt_stall_depth
+    frames + a keyframe tail) or queued fetches re-serialize.
     """
 
     def __init__(self, enabled: bool = True, workers: int = 8):
