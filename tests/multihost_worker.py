@@ -72,9 +72,24 @@ def main():
     traj = fs.trajectory()
     pos = np.stack([t for (_ts, _R, t) in traj])
     digest = float(np.abs(pos).sum())
+    # Accuracy gate, not just lockstep: a deterministic-but-wrong SPMD
+    # trajectory agrees across ranks; it must also match ground truth
+    # (sim3: the visual trajectory's gauge is scale-free).
+    from dmvio_tpu.utils import trajectory as tj
+    gt = [(float(seq["timestamps"][i]), np.asarray(seq["R_body"][i]),
+           seq["p_gt"][i]) for i in range(n_frames)]
+    first_kf = min(fs.kf_poses.keys())
+    est_t = [e for e, sh in zip(traj, fs.shells)
+             if sh.frame_id >= first_kf + 5]
+    gt_t = [g for g, sh in zip(gt, fs.shells)
+            if sh.frame_id >= first_kf + 5]
+    dist = float(np.sum(np.linalg.norm(
+        np.diff(np.stack([g[2] for g in gt_t]), axis=0), axis=1)))
+    ate_pct = 100 * tj.ate_rmse(est_t, gt_t, with_scale=True) / dist
     print(f"MHRESULT pid={pid} init={int(fs.initialized)} "
           f"kf={fs.stats_kf} lost={fs.stats_lost_frames} "
-          f"phase={fs.imu.phase} n={len(traj)} digest={digest:.9e}",
+          f"phase={fs.imu.phase} n={len(traj)} ate_pct={ate_pct:.4f} "
+          f"digest={digest:.9e}",
           flush=True)
 
 

@@ -49,16 +49,22 @@ def test_two_process_pipeline():
     results = {}
     for out in outs:
         m = re.search(r"MHRESULT pid=(\d+) init=(\d+) kf=(\d+) "
-                      r"lost=(\d+) phase=(-?\d+) n=(\d+) digest=(\S+)", out)
+                      r"lost=(\d+) phase=(-?\d+) n=(\d+) ate_pct=(\S+) "
+                      r"digest=(\S+)", out)
         assert m, f"no MHRESULT line in:\n{out[-2000:]}"
         results[int(m.group(1))] = m.groups()[1:]
 
     assert set(results) == {0, 1}
-    for pid, (init, kf, lost, _phase, n, _digest) in results.items():
+    for pid, (init, kf, lost, _phase, n, ate_pct, _digest) \
+            in results.items():
         assert init == "1", f"rank {pid} failed to initialize"
         assert int(kf) >= 6, f"rank {pid} made only {kf} keyframes"
         assert lost == "0", f"rank {pid} lost {lost} frames"
         assert int(n) >= 30
+        # Trajectory-vs-ground-truth gate (sim3, % of path): lockstep
+        # alone would pass a deterministic wrong answer. Measured 0.61%
+        # on this fixture; gated ~8x over (chaotic ATE, CLAUDE.md).
+        assert float(ate_pct) < 5.0, f"rank {pid} ATE {ate_pct}% of path"
     # SPMD lockstep: both ranks ran the same global program and must agree
     # bit-for-bit (same collectives, same reduction order).
     assert results[0] == results[1], (results[0], results[1])
