@@ -454,7 +454,21 @@ class IMUSystem:
             s_var = 1.0
         prior[Cg] = max(1.0 / s_var, 1e4)
         prior[Cg + 1:Cg + 3] = 1e4
-        self.best_pgba_var = min(self.best_pgba_var, s_var)
+        # The adoption ratchet is NOT seeded with the init's marginal:
+        # PGBA sees that same information through the delayed log's base
+        # event (record_base_event) and re-optimizes every pose jointly,
+        # so its marginal is strictly better informed — seeding the
+        # ratchet double-counts the init and was measured (round 4) to
+        # block the adoption that corrects a wrong-but-confident coarse
+        # init by a 0.9x hair (init 0.0111 vs PGBA 0.0111). The absolute
+        # gate (res.s_var < 0.05 * th) governs the first adoption;
+        # the ratchet orders later re-adoptions.
+        # The init's honest scale marginal, kept for the delayed log's
+        # base event (record_base_event): the WINDOW pin above is floored
+        # at 1e4 for stability, but copying that floor into the log would
+        # dominate every later PGBA's scale marginal (s_var ~= 1e-4
+        # regardless of data), neutering the re-adoption ratchet.
+        self.init_s_var = s_var
         self.prior_diag = prior   # host numpy (see window.py)
         # Chain the pre-activation keyframes that survived into the
         # window: their fid-keyed preintegrations (on_new_keyframe) become
@@ -702,6 +716,24 @@ class IMUSystem:
         if self.prior_diag is not None:
             H_full[np.diag_indices_from(H_full)] += np.asarray(
                 self.prior_diag, np.float64)
+            # Scale/gravity enter the LOG at the init's HONEST marginal,
+            # not the window-stability floor (1e4 = sigma 1%): with the
+            # floor copied in, every PGBA over the log reported s_var ~=
+            # 1e-4 no matter what the data said (measured, round 4) — the
+            # first cycle adopted the pin value and the improvement
+            # ratchet then blocked all later, better-informed adoptions.
+            # The window BA keeps its hard pin via prior_diag; only what
+            # PGBA gets to believe about the init changes. Gravity gets a
+            # moderate ~2.9-degree prior for the same reason.
+            F = self.f_max
+            Cg = ba_solve.cdim(F) + 9 * F
+            sv = float(getattr(self, "init_s_var", 1.0))
+            H_full[Cg, Cg] += (1.0 / max(sv, 1e-8)
+                               - float(self.prior_diag[Cg]))
+            for k_ in (1, 2):
+                H_full[Cg + k_, Cg + k_] += (
+                    min(float(self.prior_diag[Cg + k_]), 400.0)
+                    - float(self.prior_diag[Cg + k_]))
         H_ev, b_ev = self.cext_to_event(H_full, self.bM0, slots)
         fej = self.snapshot_kf_states(frames_dev, slot_fids, use_fej=True)
         st_np = jax.device_get((self.states.s_log0, self.states.g20))
@@ -810,6 +842,8 @@ class IMUSystem:
                 return False        # still optimizing; keep collecting KFs
             self._pgba_bg = None
             res = bg["result"][0]
+            if res is not None:
+                self.last_pgba_svar = float(res.s_var)
             if res is not None and res.ok:
                 return self._adopt_pgba(res, frames_dev, slot_fids)
             return False
@@ -829,10 +863,20 @@ class IMUSystem:
         self.kf_since_pgba += 1
         if every is None:
             every = self.calib.pgba_every
-        if self.kf_since_pgba < every or len(self.delayed_log.events) < 8:
+        # Schedule anchored at activation, denser early: the first two
+        # cycles fire at half cadence (and a lower event floor) so SHORT
+        # sequences still get 2-3 adoption chances — measured (round 3/4,
+        # docs/ACCURACY.md): runs whose codegen basin completed only 0-1
+        # cycles kept a locally-drifted activation pin (se3 10-13%) while
+        # 3-cycle runs re-adopted to ~3%; the reference's threshold-gated
+        # transitions likewise keep retrying from the first keyframes
+        # (IMUInitializerTransitions.h:62-163).
+        n_done = getattr(self, "pgba_count", 0)
+        gate = max(2, every // 2) if n_done < 2 else every
+        if self.kf_since_pgba < gate or len(self.delayed_log.events) < 4:
             return False
         self.kf_since_pgba = 0
-        self.pgba_count = getattr(self, "pgba_count", 0) + 1
+        self.pgba_count = n_done + 1
         st = self.states
         ev_disp = (active_event_fn()
                    if active_event_fn is not None else None)
@@ -882,7 +926,14 @@ class IMUSystem:
             res = pgba.run(self.delayed_log, win, active_event,
                            float(st_np[0]), np.asarray(st_np[1]),
                            max_kfs=self.calib.pgba_max_kfs)
+        if res is not None:
+            self.last_pgba_svar = float(res.s_var)
         if res is None or not res.ok:
+            # A failed/insufficient run must not consume the whole
+            # cadence slot (short sequences get few): retry in 2 KFs.
+            self.kf_since_pgba = max(
+                self.kf_since_pgba,
+                max(2, self.calib.pgba_every // 2) - 2)
             return False
         return self._adopt_pgba(res, frames_dev, slot_fids)
 
@@ -896,6 +947,7 @@ class IMUSystem:
                 and res.s_var < self.best_pgba_var * 0.9):
             return False
         self.best_pgba_var = res.s_var
+        self.pgba_adopt_count = getattr(self, "pgba_adopt_count", 0) + 1
         # Adopt scale/gravity (prior centers move with the FEJ mirrors) and
         # refresh current-window velocities/biases.
         stx = self.states

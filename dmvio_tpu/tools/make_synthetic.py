@@ -62,6 +62,7 @@ def main(argv=None):
     vig_strength = float(args.get("vig", 0.35))
     vignette_map = None
     response = None
+    os.makedirs(out, exist_ok=True)   # pcalib/vignette land here first
     if photometric:
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
         r2 = (((xx - w / 2) / (w / 2)) ** 2
