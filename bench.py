@@ -88,7 +88,7 @@ class Watchdog:
                 if self.partial is not None:
                     v, vs, ex = self.partial
                     ex = dict(ex or {})
-                    ex["note"] = "vo stage timed out"
+                    ex.setdefault("note", "vo stage timed out")
                     emit(v, vs, extra=ex)
                 else:
                     emit(0.0, 0.0, error="benchmark watchdog timeout "
@@ -190,7 +190,7 @@ def bench_vo():
     return N_MEAS / dt
 
 
-def bench_vio():
+def bench_vio(progress=None):
     """Full visual-inertial fps at the 512x512 operating point — the
     HEADLINE metric (the reference is a visual-inertial system; its
     realtime bar applies to VIO, MainSettings.cpp:205-236). Also returns
@@ -214,7 +214,12 @@ def bench_vio():
 
     H = W = 512
     N_WARM_MAX = 100
-    N_MEAS = 60
+    # Long measured region: with the steady-state round trip off the
+    # critical path (track_fetch median 0.01 ms), the residual exposure
+    # is rare multi-hundred-ms link stall events — on a 60-frame region
+    # one 1.2 s stall (measured) halves the headline; on 240 frames it
+    # is a ~15% dent. The region must dwarf the stall tail, not avoid it.
+    N_MEAS = int(os.environ.get("BENCH_N_MEAS", "240"))
     seq = synthetic.generate_vio_sequence(
         n_frames=N_WARM_MAX + N_MEAS, frame_dt=0.05, h=H, w=W,
         s_dso=1.3, g2=(0.05, -0.03), accel_scale=0.5, rot_scale=0.3,
@@ -287,6 +292,18 @@ def bench_vio():
         fs.add_frame(seq["images"][i], float(seq["timestamps"][i]),
                      imu_data=chunk(i))
         fts.append(time.perf_counter() - ft)
+        if progress is not None and len(fts) % 20 == 0 and len(fts) >= 40:
+            # Keep the watchdog able to emit an HONEST partial headline
+            # if a multi-minute link outage lands mid-region (observed:
+            # a stall ate the whole 1700 s budget and the artifact read
+            # 0.0): frames-so-far / elapsed-so-far, stall included.
+            part = dict(cold)
+            part["partial_frames"] = len(fts)
+            med_p = sorted(fts)[len(fts) // 2]
+            if med_p > 0:
+                part["vio_median_frame_fps"] = round(1.0 / med_p, 3)
+            fps_p = len(fts) / (time.perf_counter() - t0)
+            progress(fps_p, int(fs.imu.phase), part)
     fs.finish()
     dt = time.perf_counter() - t0
     _dump_frametimes("vio", fts, dt)
@@ -324,8 +341,14 @@ def main():
 
     # VIO is the headline (the gating metric): the reference's realtime
     # bar applies to the full inertial system, not visual-only odometry.
+    def progress(fps_p, phase_p, part):
+        part = dict(part)
+        part["vio_imu_phase"] = phase_p
+        part["note"] = "partial: link stall cut the measured region"
+        wd.partial = (fps_p, fps_p / BASELINE_FPS, part)
+
     try:
-        fps, phase, cold = bench_vio()
+        fps, phase, cold = bench_vio(progress=progress)
     except Exception as e:  # noqa: BLE001 — must still print the line
         emit(0.0, 0.0, error=f"vio bench failed: {type(e).__name__}: "
              f"{str(e)[:200]}")

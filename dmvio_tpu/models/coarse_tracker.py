@@ -451,6 +451,15 @@ class PackedTrack:
             finite = bool(np.all(np.isfinite(a[0:25])))
             if finite:
                 finite = bool(abs(self.R[0] @ self.R[0] - 1.0) < 0.1)
+            if finite:
+                # Absurd-translation guard: a garbage solve can pass the
+                # device gates with a handful of accidentally-in-bounds
+                # terms; once its pose enters the motion model, each
+                # subsequent candidate compounds it (observed: |t| 1e13
+                # after a lost streak). Window-relative translations in a
+                # sane DSO world are O(1); 1e3 is a 100x margin, so this
+                # never fires on a legitimate track.
+                finite = bool(np.linalg.norm(self.t) < 1e3)
         if not finite:
             self.valid = False
             self.any_valid = False

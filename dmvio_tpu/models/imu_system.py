@@ -235,14 +235,30 @@ class IMUSystem:
         only softens the tracker prior — conservative by construction."""
         if self.phase != ACTIVE or self.coarse is None:
             return None
+        if any(ch is None for ch in chunks_np):
+            return None   # a chunk gap breaks the prediction chain
+        # Incremental: propagation is O(pending chunks) per dispatch and
+        # the pending list only GROWS while consumption lags (link
+        # stalls, exactly when the list is longest). If the authoritative
+        # belief hasn't moved (same object) and the previous preview's
+        # chunk list is a prefix of this one, continue from it and
+        # propagate only the new suffix. Identity keys are sound: chunk
+        # dicts are immutable snapshots held by the realtime queue, and
+        # every coarse-belief update rebinds self.coarse.
+        key = tuple(id(ch) for ch in chunks_np)
+        cached = getattr(self, "_preview_cache", None)
         state = self.coarse
+        todo = chunks_np
+        if cached is not None and cached[0] is self.coarse \
+                and key[:len(cached[1])] == cached[1]:
+            state = cached[2]
+            todo = chunks_np[len(cached[1]):]
         R_cb = np.asarray(self.calib.R_cb, np.float64)
         t_cb = np.asarray(self.calib.t_cb, np.float64)
         with TimeMeasurement("imu_predict"):
-            for ch in chunks_np:
-                if ch is None:
-                    return None   # a chunk gap breaks the prediction chain
+            for ch in todo:
                 state = vio_coarse.predict(state, ch, R_cb, t_cb)
+        self._preview_cache = (self.coarse, key, state)
         return state
 
     def coarse_prior(self, R_ref_np, t_ref_np, rho0, b0):

@@ -34,6 +34,7 @@ def main(argv=None):
         accel_scale=float(args.get("accel", 0.8)),
         rot_scale=float(args.get("rot", 0.45)),
         excite=float(args.get("excite", 0.0)),
+        excite_until=float(args.get("excite_until", 0.0)),
         s_dso=float(args.get("s_dso", 1.0)))
     calib = seq["calib"]
 

@@ -217,6 +217,7 @@ def generate_vio_sequence(
     bias=(0.0,) * 6,
     seed: int = 0,
     excite: float = 0.0,
+    excite_until: float = 0.0,
     v0=(0.22, -0.06, 0.1),
     R_cb=None,
     t_cb=None,
@@ -250,16 +251,26 @@ def generate_vio_sequence(
         a = accel_scale * np.array([
             np.sin(2.3 * t), 0.8 * np.cos(1.9 * t) + 0.15,
             0.5 * np.sin(1.3 * t + 0.5)])
-        if excite:
+        if excite and (excite_until <= 0.0 or t < excite_until):
             # Scale-observability excitation: high-frequency, large-
             # amplitude acceleration (displacement ~ excite/omega^2 stays
             # centimetric while the specific-force signal is ~excite).
+            # excite_until > 0 limits it to the sequence start — the
+            # actual TUM-VI protocol (wiggle for initialization, then
+            # walk); 0 keeps it on for the whole sequence. The amplitude
+            # ramps down linearly over the final second before
+            # excite_until — a step-change in applied acceleration is
+            # unphysical and the resulting jerk was measured to break
+            # tracking at the transition.
+            amp = excite
+            if excite_until > 0.0:
+                amp = excite * min(1.0, max(0.0, excite_until - t))
             # Metric scale is observed through the ratio of accelerometer
             # signal to visual parallax; the default smooth trajectories
             # leave a near-flat scale chi^2 valley (docs/ACCURACY.md) —
             # this is the knob that closes it, mirroring the wiggle
             # segments TUM-VI-style sequences start with.
-            a = a + excite * np.array([
+            a = a + amp * np.array([
                 np.sin(6.7 * t), np.cos(7.3 * t + 0.7),
                 0.8 * np.sin(5.9 * t + 0.3)])
         return a
