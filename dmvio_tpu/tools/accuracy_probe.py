@@ -52,8 +52,10 @@ def run_worker(kv) -> None:
         scene=synthetic.default_scene(depth=2.0))
     cfg = window.Config(f_max=6, p_max=512, i_max=512, max_frames=4,
                         levels=4, ba_iters=6, realtime=rt)
+    calib = imu_system.IMUCalib(
+        pgba_scale_th=float(kv.get("pgba_th", 1.0)))
     fs = full_system.FullSystem(seq["calib"], h, w, cfg,
-                                imu_calib=imu_system.IMUCalib())
+                                imu_calib=calib)
     spf = seq["steps_per_frame"]
     act_fid = None
     for i in range(n):
@@ -127,7 +129,7 @@ def main(argv=None) -> None:
                 args = [sys.executable, "-m",
                         "dmvio_tpu.tools.accuracy_probe", "worker=1",
                         f"seed={seed}", f"excite={ex}", f"devcount={dev}"]
-                for k in ("frames", "realtime", "h", "w"):
+                for k in ("frames", "realtime", "h", "w", "pgba_th"):
                     if k in kv:
                         args.append(f"{k}={kv[k]}")
                 r = subprocess.run(args, capture_output=True, text=True,
