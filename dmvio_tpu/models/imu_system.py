@@ -862,6 +862,12 @@ class IMUSystem:
                 self.last_pgba_svar = float(res.s_var)
             if res is not None and res.ok:
                 return self._adopt_pgba(res, frames_dev, slot_fids)
+            # Failed/insufficient background run: retry in 2 KFs rather
+            # than waiting out a whole cadence slot (mirrors the
+            # synchronous path below).
+            self.kf_since_pgba = max(
+                self.kf_since_pgba,
+                max(2, self.calib.pgba_every // 2) - 2)
             return False
         # A pending async snapshot from the trigger keyframe: its copy
         # landed during the frames since — build inputs and start.
