@@ -14,6 +14,7 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -220,6 +221,13 @@ def run(argv=None) -> dict:
     if su["prewarm"]:
         _prewarm(cfg, h, w, imu_calib, quiet=bool(su["quiet"]))
 
+    # DMVIO_FRAMELOG=path: per-frame host-side state (no extra device
+    # fetches) — the diagnostic stream for reset/starvation forensics.
+    framelog = None
+    if os.environ.get("DMVIO_FRAMELOG"):
+        framelog = open(os.environ["DMVIO_FRAMELOG"], "w")
+        framelog.write("# fid ts kf n_active resets lost phase\n")
+
     t_start = time.perf_counter()
     for i in range(su["start"], n):
         with TimeMeasurement("frame_total"):
@@ -232,6 +240,12 @@ def run(argv=None) -> dict:
             fs.add_frame(img, reader.frames[i].timestamp,
                          imu_data=imu_chunk,
                          exposure=reader.frames[i].exposure)
+        if framelog is not None:
+            phase = fs.imu.phase if fs.imu is not None else -1
+            framelog.write(
+                f"{i} {reader.frames[i].timestamp:.4f} {fs.stats_kf} "
+                f"{fs._n_active:.0f} {fs.stats_resets} "
+                f"{int(fs.is_lost)} {phase}\n")
         if not su["quiet"] and i % 50 == 0:
             print(f"frame {i}/{n} kf={fs.stats_kf} "
                   f"init={fs.initialized} lost={fs.is_lost}")
