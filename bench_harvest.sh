@@ -7,7 +7,8 @@ LOG=${1:-/root/repo/bench_runs.log}
 WANT=${2:-3}
 clean=0
 attempt=0
-while [ "$clean" -lt "$WANT" ] && [ "$attempt" -lt 12 ]; do
+backoff=60
+while [ "$clean" -lt "$WANT" ] && [ "$attempt" -lt 40 ]; do
   attempt=$((attempt+1))
   ts=$(date +%s)
   out=$(cd /root/repo && timeout 1800 python bench.py 2>/tmp/bench_err.$attempt)
@@ -19,8 +20,14 @@ while [ "$clean" -lt "$WANT" ] && [ "$attempt" -lt 12 ]; do
      && ! echo "$out" | grep -q '"error"' \
      && ! echo "$out" | grep -q 'partial'; then
     clean=$((clean+1))
+    backoff=60
   else
-    sleep 60   # back off through link weather before retrying
+    # Exponential backoff (60s -> 20min cap): measured outages run from
+    # minutes to >3h (docs/PERF.md); a constant sleep with a small attempt
+    # cap exhausted itself before a long outage cleared.
+    sleep "$backoff"
+    backoff=$((backoff * 2))
+    [ "$backoff" -gt 1200 ] && backoff=1200
   fi
 done
 echo "done clean=$clean attempts=$attempt" >> "$LOG"

@@ -225,31 +225,39 @@ def run(argv=None) -> dict:
     # fetches) — the diagnostic stream for reset/starvation forensics.
     framelog = None
     if os.environ.get("DMVIO_FRAMELOG"):
-        framelog = open(os.environ["DMVIO_FRAMELOG"], "w")
+        # Line-buffered + closed in the finally below: this stream exists
+        # for crash/timeout forensics, so its newest lines must survive a
+        # kill (a block-buffered handle loses them), and programmatic run()
+        # callers must not leak the handle.
+        framelog = open(os.environ["DMVIO_FRAMELOG"], "w", buffering=1)
         framelog.write("# fid ts kf n_active resets lost phase\n")
 
     t_start = time.perf_counter()
-    for i in range(su["start"], n):
-        with TimeMeasurement("frame_total"):
-            img = reader.get_image(i)
-            imu_chunk = None
-            if imu_calib is not None:
-                acc, gyr, dts = reader.get_imu_chunk(i)
-                if len(dts):
-                    imu_chunk = (acc, gyr, dts)
-            fs.add_frame(img, reader.frames[i].timestamp,
-                         imu_data=imu_chunk,
-                         exposure=reader.frames[i].exposure)
+    try:
+        for i in range(su["start"], n):
+            with TimeMeasurement("frame_total"):
+                img = reader.get_image(i)
+                imu_chunk = None
+                if imu_calib is not None:
+                    acc, gyr, dts = reader.get_imu_chunk(i)
+                    if len(dts):
+                        imu_chunk = (acc, gyr, dts)
+                fs.add_frame(img, reader.frames[i].timestamp,
+                             imu_data=imu_chunk,
+                             exposure=reader.frames[i].exposure)
+            if framelog is not None:
+                phase = fs.imu.phase if fs.imu is not None else -1
+                framelog.write(
+                    f"{i} {reader.frames[i].timestamp:.4f} {fs.stats_kf} "
+                    f"{fs._n_active:.0f} {fs.stats_resets} "
+                    f"{int(fs.is_lost)} {phase}\n")
+            if not su["quiet"] and i % 50 == 0:
+                print(f"frame {i}/{n} kf={fs.stats_kf} "
+                      f"init={fs.initialized} lost={fs.is_lost}")
+        fs.finish()   # flush the realtime pipeline (no-op otherwise)
+    finally:
         if framelog is not None:
-            phase = fs.imu.phase if fs.imu is not None else -1
-            framelog.write(
-                f"{i} {reader.frames[i].timestamp:.4f} {fs.stats_kf} "
-                f"{fs._n_active:.0f} {fs.stats_resets} "
-                f"{int(fs.is_lost)} {phase}\n")
-        if not su["quiet"] and i % 50 == 0:
-            print(f"frame {i}/{n} kf={fs.stats_kf} "
-                  f"init={fs.initialized} lost={fs.is_lost}")
-    fs.finish()   # flush the realtime pipeline (no-op otherwise)
+            framelog.close()
     wall = time.perf_counter() - t_start
 
     prefix = su["resultsPrefix"]
