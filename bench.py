@@ -120,13 +120,19 @@ def _warm_pose_fn(lie, np, jnp):
 
 
 def bench_vo():
-    """Visual-only realtime pipeline fps (the headline number)."""
+    """Visual-only realtime pipeline fps (the VO control alongside the
+    VIO headline). Returns (fps, diag) where diag carries the same
+    diagnostics as the VIO bench — median-frame fps and per-stage medians
+    — so link weather and host/device regressions are attributable from
+    the artifact alone (round-4 verdict: the VO number collapsed and the
+    control was too under-instrumented to exonerate itself)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from dmvio_tpu.models import full_system, window
     from dmvio_tpu.utils import lie, synthetic
+    from dmvio_tpu.utils import timing as _timing
     from dmvio_tpu.utils.camera import Calib
 
     H = W = 512
@@ -178,6 +184,7 @@ def bench_vo():
                                              levels=cfg.levels))
     fs._rescue_track(_warm_pyr)   # fetches internally; result discarded
 
+    _timing.reset()   # stage stats cover the measured region only
     t0 = time.perf_counter()
     fts = []
     for i in range(n_warm, n_warm + N_MEAS):
@@ -187,7 +194,20 @@ def bench_vo():
     fs.finish()   # flush the realtime pipeline inside the timed region
     dt = time.perf_counter() - t0
     _dump_frametimes("vo", fts, dt)
-    return N_MEAS / dt
+    diag = {}
+    med = sorted(fts)[len(fts) // 2]
+    if med > 0:
+        diag["vo_median_frame_fps"] = round(1.0 / med, 3)
+    diag["vo_lost_frames"] = fs.stats_lost_frames
+    diag["vo_resets"] = fs.stats_resets
+    stats = _timing.get_stats()
+    by_total = sorted(stats.items(),
+                      key=lambda kv: -kv[1]["n"] * kv[1]["mean"])
+    diag["vo_stage_ms"] = {
+        k: [v["n"], round(v["median"] * 1e3, 2), round(v["mean"] * 1e3, 2),
+            round(v["max"] * 1e3, 2)]
+        for k, v in by_total[:8]}
+    return N_MEAS / dt, diag
 
 
 def bench_vio(progress=None):
@@ -324,6 +344,33 @@ def bench_vio(progress=None):
         k: [v["n"], round(v["median"] * 1e3, 2), round(v["mean"] * 1e3, 2),
             round(v["max"] * 1e3, 2)]
         for k, v in by_total[:10]}
+    # Estimator-health context for the perf artifact (round-4 verdict: a
+    # divergent-but-fast run must not look identical to a healthy one).
+    # Metric ATE against the generator's ground truth over the whole run,
+    # as % of path, plus reset/lost counters.
+    try:
+        from dmvio_tpu.utils import trajectory as _traj
+        est = fs.metric_trajectory()
+        if est is not None:
+            n_tr = min(len(est), len(seq["p_gt"]))
+            gt = [(float(seq["timestamps"][i]), np.asarray(seq["R_body"][i]),
+                   np.asarray(seq["p_gt"][i])) for i in range(n_tr)]
+            first_kf = min(fs.kf_poses.keys())
+            est_t = [e for e, sh in zip(est[:n_tr], fs.shells[:n_tr])
+                     if sh.frame_id >= first_kf + 5]
+            gt_t = [g for g, sh in zip(gt, fs.shells[:n_tr])
+                    if sh.frame_id >= first_kf + 5]
+            dist = float(np.sum(np.linalg.norm(
+                np.diff(np.stack([g[2] for g in gt_t]), axis=0), axis=1)))
+            if dist > 0:
+                cold["vio_ate_se3_pct"] = round(100.0 * _traj.ate_rmse(
+                    est_t, gt_t, with_scale=False) / dist, 2)
+                cold["vio_ate_sim3_pct"] = round(100.0 * _traj.ate_rmse(
+                    est_t, gt_t, with_scale=True) / dist, 2)
+        cold["vio_resets"] = fs.stats_resets
+        cold["vio_lost_frames"] = fs.stats_lost_frames
+    except Exception as e:  # noqa: BLE001 — health context must not kill perf
+        cold["vio_ate_error"] = f"{type(e).__name__}: {str(e)[:120]}"
     return N_MEAS / dt, int(fs.imu.phase), cold
 
 
@@ -368,8 +415,9 @@ def main():
                   file=sys.stderr)
     if os.environ.get("BENCH_VO", "1") != "0":
         try:
-            vo_fps = bench_vo()
+            vo_fps, vo_diag = bench_vo()
             extra["vo_frames_per_second_512x512"] = round(vo_fps, 3)
+            extra.update(vo_diag)
         except Exception as e:  # noqa: BLE001
             extra["vo_error"] = (f"{type(e).__name__}: {str(e)[:200]}")
     emit(fps, fps / BASELINE_FPS, extra=extra or None)

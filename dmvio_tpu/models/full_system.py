@@ -50,6 +50,17 @@ def _trace_jit(imm, frames, R_cw, t_cw, aff_new, level0, calib):
 _make_ref_jit = jax.jit(coarse_tracker.make_tracker_ref)
 
 
+@jax.jit
+def _guard_kf_pose(anyv, R, t, aff, R_fb, t_fb, aff_fb):
+    """Keyframe pose guard for dispatch-time KF builds: tracking validity
+    is a device scalar the host has not seen yet, so select between the
+    solved pose and a fallback (previous frame's pose; the reference KF's
+    affine) on device. A diverged solve must never seed the window."""
+    ok = anyv > 0.5
+    return (jnp.where(ok, R, R_fb), jnp.where(ok, t, t_fb),
+            jnp.where(ok, aff, aff_fb))
+
+
 class TrackInfo(NamedTuple):
     ok: bool
     flow_t: float
@@ -136,6 +147,20 @@ class FullSystem:
         self._frame_th_dev = None    # adaptive energy thresholds (device)
         self._frame_th_np = None     # ... host mirror (fused-tail fetch)
         self._rt_chunks_since_kf = None  # replay buffer (deferred VIO KF)
+        # Dispatch-time keyframe decision state (Config.rt_dispatch_kf):
+        # the newest LANDED tracker score for the current reference epoch
+        # plus an EMA of its per-frame growth rate. Landed stats are
+        # PEEKED from in-flight futures without consuming them, so the
+        # decision never waits on the link.
+        self._kf_score_meas = None     # (fid, score) newest landed, this epoch
+        self._kf_score_rate = 0.0      # EMA d(score)/d(frame), persists epochs
+        self._kf_epoch_fid = -1        # fid at which the current ref epoch began
+        # Frame id the authoritative coarse IMU belief sits at. Needed by
+        # the dispatch-decision mode, where a keyframe finalize can move
+        # the belief AHEAD of the consume position (the keyframe was built
+        # at dispatch): consuming an older frame must then neither
+        # re-advance nor fuse into the belief.
+        self._belief_fid = -1
         # Distributed BA: the point-axis programs (window BA, point
         # marginalization) run sharded over a device mesh; everything else
         # stays on the home device (parallel/dist_ba.Placer).
@@ -299,20 +324,34 @@ class FullSystem:
         v_init = None
         bias_init = None
         pred_pose = None
+        preview = None
         if self.imu is not None:
             imu_chunk = self.imu.frame_chunk()
+            # Only chunks AHEAD of the authoritative belief: after a
+            # dispatch-time keyframe finalize the belief can sit at the
+            # keyframe while older frames are still unconsumed in the
+            # queue — their chunks are already inside the belief.
             pending = [q["imu_chunk"]["pre_np"]
                        if q.get("imu_chunk") else None
-                       for q in self._rt_queue]
+                       for q in self._rt_queue
+                       if q["fid"] > self._belief_fid]
             pending.append(imu_chunk["pre_np"] if imu_chunk else None)
             preview = self.imu.predict_preview(pending)
+            if preview is not None and self._kf_finalize is not None \
+                    and self._kf_finalize.get("ref_pose_approx") is None:
+                # Deferred keyframe without a host-expressible reference
+                # pose (built before the preview chain was available):
+                # the prior cannot be phrased against the new reference —
+                # track this frame unassisted rather than against a stale
+                # pose.
+                preview = None
             if preview is not None:
                 # Host ref pose: fresh after finalize; while a deferred
                 # keyframe's optimized pose is still in flight, its
-                # TRACKED (pre-BA) pose stands in — the BA correction is
-                # 1-2 degrees, well inside the prior's tolerance.
-                if self._kf_finalize is not None and \
-                        self._kf_finalize.get("ref_pose_approx") is not None:
+                # TRACKED (pre-BA, or IMU-predicted for dispatch-time
+                # keyframes) pose stands in — the BA correction is 1-2
+                # degrees, well inside the prior's tolerance.
+                if self._kf_finalize is not None:
                     R_ref, t_ref = self._kf_finalize["ref_pose_approx"]
                 else:
                     R_ref, t_ref = self.ref_pose_np
@@ -399,6 +438,8 @@ class FullSystem:
             # Start the host copy NOW: by the time this frame is consumed
             # (one frame later) the round trip has landed.
             future=self._fetcher.submit(packed)))
+        if self.cfg.rt_dispatch_kf:
+            self._dispatch_kf_maybe(fid, preview)
         self._rt_drain(keep_last=True)
 
     def _rt_drain(self, keep_last: bool) -> None:
@@ -416,6 +457,13 @@ class FullSystem:
             p = self._rt_queue[0]
             if len(self._rt_queue) <= cap and not p["future"].done():
                 break
+            if p.get("ref_pose") is None and len(self._rt_queue) <= cap \
+                    and self._kf_finalize is not None \
+                    and not self._kf_finalize["future"].done():
+                # This frame needs the deferred keyframe's host half,
+                # whose copy is still crossing the link (a stall): defer
+                # rather than block the frame loop on the fetch.
+                break
             with TimeMeasurement("track_fetch"):
                 arr = p["future"].result()
             if p.get("ref_pose") is None:
@@ -430,6 +478,117 @@ class FullSystem:
                     continue
             self._rt_queue.pop(0)
             self._rt_consume(p, arr)
+
+    # -- dispatch-time keyframe decisions (Config.rt_dispatch_kf) --------
+    def _kf_score_of(self, flow_t: float, flow_rt: float,
+                     rho: float) -> float:
+        """The reference's KF heuristic score (FullSystem.cpp:1038-1100)."""
+        cfg = self.cfg
+        return cfg.kf_weight * (
+            cfg.w_flow_t * flow_t / (self.w + self.h)
+            + cfg.w_flow_rt * flow_rt / (self.w + self.h)
+            + cfg.w_aff * abs(rho))
+
+    def _note_consumed_score(self, p, pk) -> None:
+        """Update the dispatch-decision score state from a CONSUMED
+        frame's measured stats. Anchoring on consume keeps the decision
+        deterministic (consume order is FIFO and its content
+        link-timing-independent); the extrapolation in
+        `_dispatch_kf_maybe` covers the consume lag — small on a clean
+        link, growing exactly when a stall pauses consumption."""
+        if not pk.any_valid or p["ref_kf_id"] != self.ref_kf_id:
+            return              # measured against a replaced reference
+        score = self._kf_score_of(pk.flow_t, pk.flow_rt, pk.rho)
+        prev = self._kf_score_meas
+        # Rate from ABSOLUTE growth since the reference switch (the score
+        # is ~0 at the switch frame): every consumed frame is an
+        # observation, robust to lag. The first observation seeds the EMA
+        # directly (a zero-seeded EMA underestimates for many keyframes
+        # and starves the map — measured: cadence 5 vs the serial
+        # pipeline's 2-3).
+        d_epoch = p["fid"] - self._kf_epoch_fid
+        if d_epoch > 0:
+            obs = score / d_epoch
+            if self._kf_score_rate <= 0.0:
+                self._kf_score_rate = obs
+            else:
+                self._kf_score_rate = (0.5 * self._kf_score_rate
+                                       + 0.5 * obs)
+        if prev is None or p["fid"] > prev[0]:
+            self._kf_score_meas = (p["fid"], score)
+
+    def _dispatch_kf_maybe(self, fid: int, preview) -> None:
+        """Decide AT DISPATCH TIME whether the just-dispatched frame
+        becomes a keyframe, and if so run the keyframe's device half
+        immediately from its own device arrays (round-5 re-design;
+        docs/PERF.md). The decision extrapolates the newest LANDED score
+        by the measured per-frame growth rate, so it needs no fetch; the
+        keyframe build itself is dispatch-only. When the PREVIOUS
+        keyframe's host half is still crossing the link (a stall), the
+        interval stretches — frames keep flowing — and the keyframe is
+        built from the then-current frame once the copy lands."""
+        if not self.initialized or self.is_lost:
+            return
+        meas = self._kf_score_meas
+        rate = self._kf_score_rate
+        if meas is not None:
+            # Newest consumed score extrapolated to THIS frame: the same
+            # crossing the reference tests (FullSystem.cpp:1038-1100),
+            # predicted for the frame the keyframe will actually be built
+            # from. Under a link stall the measurement ages and the
+            # extrapolation smoothly takes over the cadence instead of
+            # pausing keyframes. (Measured alternatives: triggering on the
+            # raw measured crossing stretches baselines by the consume lag
+            # and degraded both fixtures; an instantaneous pairwise rate
+            # changed nothing.)
+            pred = meas[1] + rate * (fid - meas[0])
+        else:
+            # Fresh epoch with nothing landed yet: ramp from the switch.
+            pred = rate * (fid - self._kf_epoch_fid)
+        if pred <= 1.0 or fid - self._kf_epoch_fid < 2:
+            # The interval floor bounds a transiently over-estimated rate
+            # (a score spike would otherwise chain keyframes every frame
+            # until real stats land; the reference's cadence is ~3.5).
+            return
+        kfp = self._kf_finalize
+        if kfp is not None and not kfp["future"].done():
+            return              # stretch: previous host half still in flight
+        p = self._rt_queue[-1] if self._rt_queue else None
+        if p is None or p["fid"] != fid:
+            return
+        self._finalize_kf()
+        if not self.initialized or not self._rt_queue \
+                or self._rt_queue[-1] is not p:
+            return              # finalize reset the map under us
+        # Tracking validity is unknown at dispatch: guard the keyframe
+        # pose on device with the previous frame's pose as fallback (a
+        # diverged solve must never seed the window; the BA + divergence
+        # revert handle the residual risk).
+        if self._prev_pose_dev is not None:
+            R_fb, t_fb = self._prev_pose_dev
+            anyv = p["packed"][-1]
+            R_kf, t_kf, aff_kf = _guard_kf_pose(
+                anyv, p["R_cw"], p["t_cw"], p["aff"], R_fb, t_fb,
+                self.win.frames.aff[self.ref_kf_slot])
+        else:
+            R_kf, t_kf, aff_kf = p["R_cw"], p["t_cw"], p["aff"]
+        p["is_kf"] = True
+        with TimeMeasurement("keyframe_total"):
+            if self.imu is not None:
+                approx = None
+                pred_v = None
+                if preview is not None:
+                    approx = (np.asarray(preview.R_cw, np.float32),
+                              np.asarray(preview.t_cw, np.float32))
+                    pred_v = np.asarray(preview.v)
+                self._make_keyframe_rt_vio(
+                    p["pyr"], p["ts"], p["fid"], R_kf, t_kf, aff_kf,
+                    shell_idx=p["shell_idx"], upto_fid=p["fid"],
+                    ref_pose_approx=approx, pred_v_override=pred_v)
+            else:
+                self._make_keyframe_rt(p["pyr"], p["ts"], p["fid"],
+                                       R_kf, t_kf, aff_kf,
+                                       shell_idx=p["shell_idx"])
 
     def _rt_consume(self, p, packed_np) -> None:
         """Finish a pipelined frame: host bookkeeping + keyframe decision
@@ -470,7 +629,10 @@ class FullSystem:
         self.shells[p["shell_idx"]] = window.FrameShell(
             frame_id=p["fid"], timestamp=p["ts"],
             ref_kf_id=p["ref_kf_id"],
-            R_c_ref=pk.R.copy(), t_c_ref=pk.t.copy())
+            R_c_ref=pk.R.copy(), t_c_ref=pk.t.copy(),
+            # A dispatch-time keyframe marked the shell BEFORE this
+            # consume; the replacement must not lose that.
+            is_kf=self.shells[p["shell_idx"]].is_kf)
         if pk.any_valid:
             self.is_lost = False
             self.track_energy_ref = min(
@@ -497,19 +659,26 @@ class FullSystem:
             # frame), then fold in the visual evidence exactly as the
             # serial path does (addVisualToCoarseGraph).
             chunk = p.get("imu_chunk")
-            if chunk is not None:
+            advanced = chunk is not None and p["fid"] > self._belief_fid
+            if advanced:
                 self.imu.predict_coarse(chunk["pre_np"])
+                self._belief_fid = p["fid"]
                 if self._kf_finalize is not None \
-                        and self._rt_chunks_since_kf is not None:
+                        and self._rt_chunks_since_kf is not None \
+                        and p["fid"] > self._kf_finalize["fid"]:
                     # A deferred keyframe's reseed will rewind the belief
-                    # to the keyframe; keep this chunk for the replay.
-                    # (In practice the drain finalizes before consuming
-                    # any post-keyframe frame, so this list stays empty —
-                    # insurance for the rescue/lost orderings.)
-                    self._rt_chunks_since_kf.append(chunk["pre_np"])
+                    # to the keyframe; keep this (post-keyframe) chunk for
+                    # the replay. Chunks at or before the keyframe are
+                    # inside its optimized state already.
+                    self._rt_chunks_since_kf.append(
+                        (p["fid"], chunk["pre_np"]))
             if pk.any_valid:
                 if self.imu.phase == imu_system.ACTIVE:
-                    if p.get("had_prior"):
+                    # Only fuse when the belief actually sits at this
+                    # frame: after a dispatch-time keyframe finalize the
+                    # belief can be AHEAD of the consume position, and
+                    # stale visual evidence must not re-enter it.
+                    if p.get("had_prior") and advanced:
                         self.imu.fuse_tracked(pk.H_vis, R_cw_np, t_cw_np,
                                               pk.v, pk.bias)
                 elif chunk is not None:
@@ -527,12 +696,10 @@ class FullSystem:
                     w_.publish_system_status(status)
             self._published_status = status
 
-        cfg = self.cfg
-        score = cfg.kf_weight * (
-            cfg.w_flow_t * pk.flow_t / (self.w + self.h)
-            + cfg.w_flow_rt * pk.flow_rt / (self.w + self.h)
-            + cfg.w_aff * abs(pk.rho))
-        if score > 1.0 and not self.is_lost:
+        self._note_consumed_score(p, pk)
+        score = self._kf_score_of(pk.flow_t, pk.flow_rt, pk.rho)
+        if score > 1.0 and not self.is_lost \
+                and not self.cfg.rt_dispatch_kf:
             # Undo the still-in-flight frames' traces first: they ran
             # against the pre-keyframe window state and are re-issued after
             # the switch (non-RT ordering is trace(N-1) -> KF(N-1) ->
@@ -706,6 +873,10 @@ class FullSystem:
         self._rt_chunks_since_kf = None
         self._last_pose_dev = None
         self._prev_pose_dev = None
+        self._kf_score_meas = None
+        self._kf_score_rate = 0.0
+        self._kf_epoch_fid = fid
+        self._belief_fid = -1
         self.win = window.Window(self.calib, self.h, self.w, self.cfg)
         self.imm = immature.empty_pool(self.cfg.i_max)
         self.initialized = False
@@ -1398,6 +1569,8 @@ class FullSystem:
         prev_ref = self.ref_kf_id
         self.ref_kf_slot = slot
         self.ref_kf_id = fid
+        self._kf_epoch_fid = fid
+        self._kf_score_meas = None
         fetch_refs = (vlist_d, HM_d, bM_d, n_pre_d, n_post_d,
                       window_ops.kf_pose_pack(w.frames), rmse_d,
                       self._frame_th_dev)
@@ -1411,7 +1584,8 @@ class FullSystem:
 
     def _make_keyframe_rt_vio(self, pyr, ts, fid, R_cw, t_cw, aff_new,
                               shell_idx: int, upto_fid: int,
-                              ref_pose_approx=None) -> None:
+                              ref_pose_approx=None,
+                              pred_v_override=None) -> None:
         """Deferred INERTIAL keyframe: the device half (insert, activate,
         extended BA, fused VIO tail, tracker ref) dispatches now and
         overlaps in-flight tracking; the host half (f64 priors, delayed
@@ -1428,8 +1602,12 @@ class FullSystem:
         w.set_frame_prior(slot, 0.0, cfg.aff_a_prior, cfg.aff_b_prior)
         self.shells[shell_idx].is_kf = True
         self.stats_kf += 1
-        pred_v = (np.asarray(imu.coarse.v)
-                  if imu.coarse is not None else None)
+        # Dispatch-time keyframes pass the PREVIEW velocity (propagated to
+        # this very frame); the consume-time path falls back to the
+        # authoritative filter (which then sits at this frame anyway).
+        pred_v = pred_v_override
+        if pred_v is None and imu.coarse is not None:
+            pred_v = np.asarray(imu.coarse.v)
         # The KF-to-KF chunk stops at this keyframe's frame id: younger
         # in-flight frames' samples are already buffered and stay.
         with TimeMeasurement("imu_kf_pair"):
@@ -1465,6 +1643,8 @@ class FullSystem:
         prev_ref = self.ref_kf_id
         self.ref_kf_slot = slot
         self.ref_kf_id = fid
+        self._kf_epoch_fid = fid
+        self._kf_score_meas = None
         self._kf_finalize = dict(
             kind=kind, slot=slot, fid=fid, snap=snap, prev_ref=prev_ref,
             kf_count=self.stats_kf, ref_pose_approx=ref_pose_approx,
@@ -1550,11 +1730,16 @@ class FullSystem:
             st_np = None if (adopted or kfp["kind"] != "vio") else st_pref
             with TimeMeasurement("coarse_reseed"):
                 imu.reinit_coarse_from_ba(R_np, t_np, slot, st_np=st_np)
-                # Replay the frames consumed since the keyframe so the
+                # The belief now sits AT the keyframe — possibly ahead of
+                # the consume position (dispatch-time keyframes): older
+                # frames consumed later must not re-advance it.
+                self._belief_fid = max(self._belief_fid, fid)
+                # Replay the post-keyframe frames consumed since, so the
                 # belief returns to the newest consumed frame (their visual
                 # fusion is lost — conservative, like the dispatch preview).
-                for ch in (self._rt_chunks_since_kf or []):
+                for fid_ch, ch in (self._rt_chunks_since_kf or []):
                     imu.predict_coarse(ch)
+                    self._belief_fid = fid_ch
             self._kf_st_host = None
         self._rt_chunks_since_kf = None
 
@@ -1864,6 +2049,12 @@ class FullSystem:
         self.ref_kf_id = fid
         self.last_rho = 0.0
         self.last_b = 0.0
+        if self._kf_epoch_fid != fid:
+            # Synchronous reference switch (initializer handoff, revert
+            # paths): start a fresh dispatch-decision epoch. Deferred
+            # keyframes already did this at dispatch (same fid).
+            self._kf_epoch_fid = fid
+            self._kf_score_meas = None
 
     def _set_tracker_ref(self, slot: int, fid: int,
                          pose_pack: Optional[np.ndarray] = None):

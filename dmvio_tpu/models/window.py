@@ -59,13 +59,27 @@ class Config:
     # trip at ~5ms of host work per frame settles near 8 deep) and a link
     # stall tail (100-500ms events, docs/PERF.md) absorbs into queue depth
     # instead of stalling every subsequent frame — the round-3 headline's
-    # 2x run-to-run swing was exactly this structural exposure. Keyframe
-    # decisions are made from the consumed frame's own stats, so KF
-    # *cadence in frame index space* is unchanged; only the wall-clock
-    # decision lag grows, bounded by this cap. At camera rate the copy
-    # lands before the next frame, so effective depth stays ~1 (the
-    # reference's pipeline depth, FullSystem.cpp:1124-1320).
-    rt_stall_depth: int = 24
+    # 2x run-to-run swing was exactly this structural exposure. With
+    # dispatch-time keyframe decisions (rt_dispatch_kf) depth no longer
+    # distorts KF cadence, so the cap is sized purely for stall absorption:
+    # 64 frames ≈ 3 s of measured 0.3-1.2 s stall tails at steady rate
+    # (round 4's depth-24 optimum existed only because consume-time KF
+    # decisions lagged by the whole queue — docs/PERF.md depth A/B).
+    rt_stall_depth: int = 64
+    # Make the keyframe decision at DISPATCH time from the newest LANDED
+    # tracker stats extrapolated by their measured per-frame growth rate
+    # (plus the incremental IMU preview for the keyframe's own state),
+    # instead of at consume time from the frame's fetched stats. The
+    # keyframe's device half (insert, activate, BA, fused tail, tracker
+    # ref) runs IN the dispatch stream from the deciding frame's own
+    # device arrays — so a link stall can no longer delay the reference
+    # switch, every subsequent frame tracks against the newest reference
+    # (no stale-reference redispatch at all), and trace ordering matches
+    # the serial pipeline exactly. The reference tolerates the same
+    # lateness class across its mapping-thread handoff
+    # (FullSystem.cpp:1124-1320). False restores the round-4 consume-time
+    # decisions.
+    rt_dispatch_kf: bool = True
     # On a keyframe switch, only the newest rt_redispatch_max in-flight
     # frames are re-tracked against the fresh reference; older ones are
     # consumed as tracked (against the previous reference — geometrically

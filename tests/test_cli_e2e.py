@@ -136,6 +136,11 @@ def test_cli_vio_realtime_second_seed():
         f"files={data}/images", f"calib={data}/camera.txt",
         f"tsFile={data}/times.txt", f"imuFile={data}/imu.txt",
         "useimu=1", "preset=1", f"resultsPrefix={out}", "quiet=1",
+        # Deterministic fetch: with the thread pool, the dispatch-time KF
+        # decision anchor depends on copy-landing times and the chaotic
+        # ATE moves between basins run to run (see
+        # test_vio_realtime_pipeline).
+        "async_fetch=0",
     ])
     gt = trajectory.read_tum(os.path.join(data, "gt.csv"))
     Q = np.stack([g[2] for g in gt])
