@@ -273,7 +273,8 @@ class FullSystem:
                                       pk.v, pk.bias)
             else:
                 self.imu.record_init_pose(fid, self.ref_kf_id,
-                                          pk.R, pk.t, R_cw_np)
+                                          pk.R, pk.t, R_cw_np,
+                                          H_vis=pk.H_vis)
 
         if self.output_wrappers:
             R_np = pk.R @ self.ref_pose_np[0]
@@ -482,30 +483,54 @@ class FullSystem:
     # -- dispatch-time keyframe decisions (Config.rt_dispatch_kf) --------
     def _kf_score_of(self, flow_t: float, flow_rt: float,
                      rho: float) -> float:
-        """The reference's KF heuristic score (FullSystem.cpp:1038-1100)."""
+        """Dispatch-decision KF score: the reference's RMS-flow
+        semantics (FullSystem.cpp:1052-1054 applies sqrtf, so the score
+        is LINEAR in baseline — which the rate extrapolation requires),
+        scaled by rt_kf_density (see window.Config). The serial/batch
+        path keeps its original squared-flow crossing in _track_frame —
+        every batch accuracy basin since round 1 is tuned against it."""
         cfg = self.cfg
-        return cfg.kf_weight * (
-            cfg.w_flow_t * flow_t / (self.w + self.h)
-            + cfg.w_flow_rt * flow_rt / (self.w + self.h)
+        return cfg.kf_weight * cfg.rt_kf_density * (
+            cfg.w_flow_t * np.sqrt(max(flow_t, 0.0)) / (self.w + self.h)
+            + cfg.w_flow_rt * np.sqrt(max(flow_rt, 0.0)) / (self.w + self.h)
             + cfg.w_aff * abs(rho))
 
-    def _note_consumed_score(self, p, pk) -> None:
-        """Update the dispatch-decision score state from a CONSUMED
-        frame's measured stats. Anchoring on consume keeps the decision
-        deterministic (consume order is FIFO and its content
-        link-timing-independent); the extrapolation in
-        `_dispatch_kf_maybe` covers the consume lag — small on a clean
-        link, growing exactly when a stall pauses consumption."""
+    def _peek_landed_scores(self) -> None:
+        """Feed the dispatch-decision score state from in-flight futures
+        whose copies have LANDED, without consuming them (done futures
+        hold host arrays — no link traffic). Under async_fetch=False
+        every future resolves at submit, so the peek sees every frame's
+        measured score in order and the decision is bit-deterministic —
+        the regime the accuracy tests run in; on the live link the peek
+        lags by the round trip and the extrapolation covers the rest."""
+        for p in self._rt_queue:
+            if p.get("score_noted") or not p["future"].done():
+                continue
+            try:
+                arr = p["future"].result()
+            except Exception:   # noqa: BLE001 — consume path will handle
+                p["score_noted"] = True
+                continue
+            self._note_score(
+                p, coarse_tracker.PackedTrack(arr, self.cfg.levels))
+
+    def _note_score(self, p, pk) -> None:
+        """Update the dispatch-decision score state from one frame's
+        measured stats (called from the dispatch-time peek and, for
+        frames whose copy landed late, from consume)."""
+        if p.get("score_noted"):
+            return
+        p["score_noted"] = True
         if not pk.any_valid or p["ref_kf_id"] != self.ref_kf_id:
             return              # measured against a replaced reference
         score = self._kf_score_of(pk.flow_t, pk.flow_rt, pk.rho)
         prev = self._kf_score_meas
         # Rate from ABSOLUTE growth since the reference switch (the score
-        # is ~0 at the switch frame): every consumed frame is an
-        # observation, robust to lag. The first observation seeds the EMA
-        # directly (a zero-seeded EMA underestimates for many keyframes
-        # and starves the map — measured: cadence 5 vs the serial
-        # pipeline's 2-3).
+        # is ~0 there and LINEAR in baseline with the RMS-flow
+        # semantics): every landed frame is an observation, robust to
+        # lag; the first observation seeds the EMA directly (a
+        # zero-seeded EMA underestimates for many keyframes and starves
+        # the map).
         d_epoch = p["fid"] - self._kf_epoch_fid
         if d_epoch > 0:
             obs = score / d_epoch
@@ -529,18 +554,16 @@ class FullSystem:
         built from the then-current frame once the copy lands."""
         if not self.initialized or self.is_lost:
             return
+        self._peek_landed_scores()
         meas = self._kf_score_meas
         rate = self._kf_score_rate
         if meas is not None:
-            # Newest consumed score extrapolated to THIS frame: the same
-            # crossing the reference tests (FullSystem.cpp:1038-1100),
+            # Newest landed score extrapolated to THIS frame: the same
+            # crossing the reference tests (FullSystem.cpp:1052-1054),
             # predicted for the frame the keyframe will actually be built
             # from. Under a link stall the measurement ages and the
             # extrapolation smoothly takes over the cadence instead of
-            # pausing keyframes. (Measured alternatives: triggering on the
-            # raw measured crossing stretches baselines by the consume lag
-            # and degraded both fixtures; an instantaneous pairwise rate
-            # changed nothing.)
+            # pausing keyframes.
             pred = meas[1] + rate * (fid - meas[0])
         else:
             # Fresh epoch with nothing landed yet: ramp from the switch.
@@ -552,7 +575,23 @@ class FullSystem:
             return
         kfp = self._kf_finalize
         if kfp is not None and not kfp["future"].done():
-            return              # stretch: previous host half still in flight
+            # Previous keyframe's host half still in flight. Wait one
+            # RTT-class bound for it — at full-speed dispatch an ordinary
+            # round trip spans many dispatched frames and must not read
+            # as a stall (measured: treating it as one starves the KF
+            # cadence into map death). A genuine stall exceeds the bound
+            # and STRETCHES the interval instead of blocking.
+            from concurrent.futures import TimeoutError as _FTimeout
+            waited = False
+            if self.cfg.rt_kf_wait > 0:
+                try:
+                    with TimeMeasurement("kf_decision_wait"):
+                        kfp["future"].exception(timeout=self.cfg.rt_kf_wait)
+                    waited = True
+                except (_FTimeout, TimeoutError):
+                    pass
+            if not waited:
+                return          # stretch through the stall
         p = self._rt_queue[-1] if self._rt_queue else None
         if p is None or p["fid"] != fid:
             return
@@ -684,7 +723,7 @@ class FullSystem:
                 elif chunk is not None:
                     self.imu.record_init_pose(p["fid"], p["ref_kf_id"],
                                               pk.R, pk.t, R_cw_np,
-                                              chunk=chunk)
+                                              chunk=chunk, H_vis=pk.H_vis)
 
         if self.output_wrappers:
             from dmvio_tpu.io import output_wrapper as ow
@@ -696,7 +735,7 @@ class FullSystem:
                     w_.publish_system_status(status)
             self._published_status = status
 
-        self._note_consumed_score(p, pk)
+        self._note_score(p, pk)
         score = self._kf_score_of(pk.flow_t, pk.flow_rt, pk.rho)
         if score > 1.0 and not self.is_lost \
                 and not self.cfg.rt_dispatch_kf:
@@ -916,6 +955,7 @@ class FullSystem:
             imu._init_pres.clear()
             imu._init_fids.clear()
             imu._init_dts.clear()
+            imu._init_sigs.clear()
             imu._kf_acc.clear()
             imu._kf_gyr.clear()
             imu._kf_dts.clear()
@@ -1100,6 +1140,7 @@ class FullSystem:
             self.imu._init_pres.clear()
             self.imu._init_fids.clear()
             self.imu._init_dts.clear()
+            self.imu._init_sigs.clear()
             self.imu._kf_acc.clear()
             self.imu._kf_gyr.clear()
             self.imu._kf_dts.clear()

@@ -57,6 +57,14 @@ class CoarseInitState(NamedTuple):
     t_cw: jnp.ndarray    # [N, 3]
     pre: preint.PreintState   # batched [N-1] chunks pose k -> k+1
     valid: jnp.ndarray   # [N] pose slots in use (contiguous prefix)
+    # Per-pose tracked-pose uncertainty from the coarse tracker's own
+    # photometric Hessian (round-5 accuracy lever #1, docs/ACCURACY.md:
+    # the init fits the tracked poses perfectly, so per-frame tracking
+    # noise in the high-frequency band biases its scale; weighting each
+    # pose observation by the tracker's marginal sigma down-weights
+    # exactly the frames whose displacement is least trustworthy).
+    sig_rot: jnp.ndarray  # [N] rad
+    sig_pos: jnp.ndarray  # [N] DSO units
 
 
 class CoarseInitResult(NamedTuple):
@@ -88,9 +96,6 @@ def _residual_all(x, st: CoarseInitState, R_cb, t_cb, N: int):
     g2 = x[1:3]
     bias = x[3:9]
     v = x[9:].reshape(N, 3)
-    infl = jnp.diag(jnp.concatenate([
-        jnp.full(3, SIG_VIS_ROT ** 2), jnp.full(3, SIG_VIS_VEL ** 2),
-        jnp.full(3, SIG_VIS_POS ** 2)]))
 
     def one(q):
         pre_q = jax.tree_util.tree_map(lambda a: a[q], st.pre)
@@ -100,6 +105,18 @@ def _residual_all(x, st: CoarseInitState, R_cb, t_cb, N: int):
                                  R_cb, t_cb)
         r9 = preint.imu_residual(pre_q, Rb_i, pb_i, v[q], Rb_j, pb_j,
                                  v[q + 1], bias)
+        # Pair inflation: the global floor PLUS both endpoint poses'
+        # tracker-measured sigmas; the velocity block additionally sees
+        # the positional noise differentiated over the pair's dt.
+        v_rot = (SIG_VIS_ROT ** 2 + st.sig_rot[q] ** 2
+                 + st.sig_rot[q + 1] ** 2)
+        v_pos = (SIG_VIS_POS ** 2 + st.sig_pos[q] ** 2
+                 + st.sig_pos[q + 1] ** 2)
+        dt_q = jnp.maximum(pre_q.dt, 1e-2)
+        v_vel = SIG_VIS_VEL ** 2 + (st.sig_pos[q] ** 2
+                                    + st.sig_pos[q + 1] ** 2) / dt_q ** 2
+        infl = jnp.diag(jnp.concatenate([
+            jnp.full(3, v_rot), jnp.full(3, v_vel), jnp.full(3, v_pos)]))
         cov = pre_q.cov + infl
         L = jnp.linalg.cholesky(0.5 * (cov + cov.T)
                                 + 1e-12 * jnp.eye(9))

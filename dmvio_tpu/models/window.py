@@ -80,6 +80,26 @@ class Config:
     # (FullSystem.cpp:1124-1320). False restores the round-4 consume-time
     # decisions.
     rt_dispatch_kf: bool = True
+    # Density factor of the DISPATCH-TIME keyframe score (multiplies
+    # kf_weight; only the rt_dispatch_kf path reads it). That path uses
+    # the reference's RMS-flow semantics (FullSystem.cpp:1052-1054 —
+    # linear in baseline, which the rate extrapolation requires), whose
+    # crossing at factor 1.0 is ~25 px of flow: measured on the 512x512
+    # TPU bench sequence that loses tracking between keyframes under
+    # aggressive motion (9-frame loss streaks), while 2.0 (~12.5 px)
+    # ran 340 frames with zero losses/resets and stable map density.
+    # The serial/batch path keeps its original squared-flow crossing
+    # (unchanged since round 1; every batch basin is tuned against it).
+    rt_kf_density: float = 2.0
+    # When a keyframe decision fires while the PREVIOUS keyframe's host
+    # half is still crossing the link, wait up to this many seconds for
+    # it before stretching the interval. One RTT-class wait (~40 ms) per
+    # keyframe is cheap; without it, full-speed dispatch (where one RTT
+    # spans ~10 dispatched frames) treats every ordinary round trip as a
+    # stall and chronically starves the keyframe cadence (measured on
+    # TPU: map death + resets). Genuine stall events (0.3-1.2 s) exceed
+    # the wait and stretch as designed.
+    rt_kf_wait: float = 0.15
     # On a keyframe switch, only the newest rt_redispatch_max in-flight
     # frames are re-tracked against the fresh reference; older ones are
     # consumed as tracked (against the previous reference — geometrically

@@ -78,6 +78,7 @@ def save(fs, path: str) -> None:
             "init_pres": [_to_host(p) for p in imu._init_pres],
             "init_fids": list(imu._init_fids),
             "init_dts": list(imu._init_dts),
+            "init_sigs": list(imu._init_sigs),
             "acc_sum": imu._acc_sum, "acc_n": imu._acc_n,
             "last_frame_pre": None if imu.last_frame_pre is None
             else _to_host(imu.last_frame_pre),
@@ -161,6 +162,8 @@ def load(path: str):
         imu._init_pres = [dev(p) for p in imu_state.get("init_pres", [])]
         imu._init_fids = list(imu_state.get("init_fids", []))
         imu._init_dts = list(imu_state.get("init_dts", []))
+        imu._init_sigs = list(imu_state.get(
+            "init_sigs", [(0.0, 0.0)] * len(imu._init_fids)))
         imu._acc_sum = imu_state.get("acc_sum", np.zeros(3))
         imu._acc_n = imu_state.get("acc_n", 0)
         lfp = imu_state.get("last_frame_pre")

@@ -47,7 +47,8 @@ def build_case(bias_gt=np.zeros(6), seed=2):
 
     st = imu_init.CoarseInitState(
         R_cw=jnp.asarray(Rs), t_cw=jnp.asarray(ts), pre=pre_b,
-        valid=jnp.arange(N) < N_POSES)
+        valid=jnp.arange(N) < N_POSES,
+        sig_rot=jnp.zeros(N), sig_pos=jnp.zeros(N))
     return st, v_gt
 
 

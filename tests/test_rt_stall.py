@@ -40,6 +40,16 @@ class _GatedFuture:
             time.sleep(dt)
         return self._inner.result(timeout)
 
+    def exception(self, timeout=None):
+        dt = self._gate - time.monotonic()
+        if timeout is not None and dt > timeout:
+            from concurrent.futures import TimeoutError as _FT
+            time.sleep(timeout)
+            raise _FT()
+        if dt > 0:
+            time.sleep(dt)
+        return self._inner.exception(timeout)
+
 
 class _StallFetcher:
     """Wraps the real fetch pool; futures submitted while `stalled` do
