@@ -591,7 +591,14 @@ class FullSystem:
                 except (_FTimeout, TimeoutError):
                     pass
             if not waited:
-                return          # stretch through the stall
+                if pred <= self.cfg.rt_kf_stretch:
+                    return      # stretch through the stall
+                # The stretch bound: the scene has moved well past the
+                # keyframe need and the finalize is still stuck — block
+                # and pace the pipeline to the link rather than starve
+                # the map (see window.Config.rt_kf_stretch).
+                with TimeMeasurement("kf_stretch_block"):
+                    kfp["future"].exception()
         p = self._rt_queue[-1] if self._rt_queue else None
         if p is None or p["fid"] != fid:
             return

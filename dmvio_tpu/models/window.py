@@ -100,6 +100,17 @@ class Config:
     # TPU: map death + resets). Genuine stall events (0.3-1.2 s) exceed
     # the wait and stretch as designed.
     rt_kf_wait: float = 0.15
+    # Bound on the stretch: once the predicted score exceeds this
+    # multiple of the keyframe threshold while the previous finalize is
+    # still stuck, BLOCK on it instead of stretching further — under
+    # SUSTAINED link weather (a 0.3-1.2 s stall every second, measured)
+    # an unbounded stretch lets frames race arbitrarily far past the
+    # keyframe need and starves the map in frame space (measured: resets
+    # on every bad-weather bench run). Blocking paces the pipeline to
+    # the link exactly when the estimator's survival demands it; under
+    # camera-rate feeding the stretch still absorbs ~2-4 frames of
+    # stall before the bound engages.
+    rt_kf_stretch: float = 2.0
     # On a keyframe switch, only the newest rt_redispatch_max in-flight
     # frames are re-tracked against the fresh reference; older ones are
     # consumed as tracked (against the previous reference — geometrically

@@ -44,17 +44,27 @@ def _prewarm(cfg, h, w, imu_calib, quiet=False, n=60, seed=2):
         n_frames=n, frame_dt=0.05, h=h, w=w, s_dso=1.3, g2=(0.05, -0.03),
         accel_scale=0.5, rot_scale=0.3, seed=seed,
         scene=synthetic.default_scene(depth=2.0))
+    import jax as _jax
+    _jax.block_until_ready(seq["images"][-1])
+    t_gen = time.perf_counter() - t0
     fs = full_system.FullSystem(seq["calib"], h, w, cfg,
                                 imu_calib=copy.deepcopy(imu_calib))
     spf = seq["steps_per_frame"]
+    # DMVIO_PREWARM_LOG=1: per-frame wall times of the prewarm pass on
+    # stderr — attributes the cost between sequence generation and the
+    # frames that trigger first-use compiles/cache-loads/uploads.
+    plog = bool(os.environ.get("DMVIO_PREWARM_LOG"))
+    fts = []
     for i in range(n):
         chunk = None
         if i > 0 and imu_calib is not None:
             s0, s1 = (i - 1) * spf, i * spf
             chunk = (seq["acc"][s0:s1], seq["gyr"][s0:s1],
                      np.full(s1 - s0, seq["imu_dt"], np.float32))
+        ft = time.perf_counter()
         fs.add_frame(seq["images"][i], float(seq["timestamps"][i]),
                      imu_data=chunk)
+        fts.append(time.perf_counter() - ft)
         # Warm PAST the one-offs: IMU active, >=1 PGBA cycle done, a few
         # post-activation keyframe tails compiled (visual-only: a full
         # window plus a few marginalizations).
@@ -65,7 +75,15 @@ def _prewarm(cfg, h, w, imu_calib, quiet=False, n=60, seed=2):
         elif warm_kfs and fs.imu.phase == imu_system.ACTIVE \
                 and getattr(fs.imu, "pgba_count", 0) >= 1:
             break
+    ft = time.perf_counter()
     fs.finish()
+    t_fin = time.perf_counter() - ft
+    if plog:
+        top = sorted(enumerate(fts), key=lambda kv: -kv[1])[:10]
+        print(f"# prewarm split: gen={t_gen:.1f}s frames={sum(fts):.1f}s "
+              f"({len(fts)}) finish={t_fin:.1f}s; top frames: "
+              + " ".join(f"f{i}={t:.1f}s" for i, t in top),
+              file=sys.stderr)
     if not quiet:
         print(f"prewarm: compiled in {time.perf_counter() - t0:.1f}s "
               f"({fs.stats_kf} keyframes)", file=sys.stderr)
