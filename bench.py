@@ -348,6 +348,8 @@ def bench_vio(progress=None):
     # divergent-but-fast run must not look identical to a healthy one).
     # Metric ATE against the generator's ground truth over the whole run,
     # as % of path, plus reset/lost counters.
+    cold["vio_resets"] = fs.stats_resets
+    cold["vio_lost_frames"] = fs.stats_lost_frames
     try:
         from dmvio_tpu.utils import trajectory as _traj
         est = fs.metric_trajectory()
@@ -356,19 +358,23 @@ def bench_vio(progress=None):
             gt = [(float(seq["timestamps"][i]), np.asarray(seq["R_body"][i]),
                    np.asarray(seq["p_gt"][i])) for i in range(n_tr)]
             first_kf = min(fs.kf_poses.keys())
-            est_t = [e for e, sh in zip(est[:n_tr], fs.shells[:n_tr])
-                     if sh.frame_id >= first_kf + 5]
-            gt_t = [g for g, sh in zip(gt, fs.shells[:n_tr])
-                    if sh.frame_id >= first_kf + 5]
+            # Drop non-finite estimates (a weather-lost frame can leave a
+            # diverged shell; the alignment SVD must not see it).
+            pairs = [(e, g) for e, g, sh in
+                     zip(est[:n_tr], gt, fs.shells[:n_tr])
+                     if sh.frame_id >= first_kf + 5
+                     and np.all(np.isfinite(e[2]))
+                     and np.all(np.isfinite(e[1]))]
+            est_t = [p[0] for p in pairs]
+            gt_t = [p[1] for p in pairs]
             dist = float(np.sum(np.linalg.norm(
                 np.diff(np.stack([g[2] for g in gt_t]), axis=0), axis=1)))
-            if dist > 0:
+            if dist > 0 and len(pairs) >= 20:
+                cold["vio_ate_n"] = len(pairs)
                 cold["vio_ate_se3_pct"] = round(100.0 * _traj.ate_rmse(
                     est_t, gt_t, with_scale=False) / dist, 2)
                 cold["vio_ate_sim3_pct"] = round(100.0 * _traj.ate_rmse(
                     est_t, gt_t, with_scale=True) / dist, 2)
-        cold["vio_resets"] = fs.stats_resets
-        cold["vio_lost_frames"] = fs.stats_lost_frames
     except Exception as e:  # noqa: BLE001 — health context must not kill perf
         cold["vio_ate_error"] = f"{type(e).__name__}: {str(e)[:120]}"
     return N_MEAS / dt, int(fs.imu.phase), cold

@@ -337,7 +337,16 @@ class FullSystem:
                        for q in self._rt_queue
                        if q["fid"] > self._belief_fid]
             pending.append(imu_chunk["pre_np"] if imu_chunk else None)
-            preview = self.imu.predict_preview(pending)
+            # Preview horizon cap: past ~0.6 s of IMU-only propagation
+            # (a stalled link backs consumption up) the dead-reckoned
+            # prior is worse than no prior — it SINKS the joint solve
+            # where the visual-only candidate ladder still tracks
+            # (measured under sustained weather: the VIO path lost 29
+            # frames and reset 3x while the prior-less VO control on the
+            # same link ran clean). Track visually until the belief
+            # catches back up.
+            preview = (self.imu.predict_preview(pending)
+                       if len(pending) <= 12 else None)
             if preview is not None and self._kf_finalize is not None \
                     and self._kf_finalize.get("ref_pose_approx") is None:
                 # Deferred keyframe without a host-expressible reference

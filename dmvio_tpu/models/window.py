@@ -61,11 +61,19 @@ class Config:
     # instead of stalling every subsequent frame — the round-3 headline's
     # 2x run-to-run swing was exactly this structural exposure. With
     # dispatch-time keyframe decisions (rt_dispatch_kf) depth no longer
-    # distorts KF cadence, so the cap is sized purely for stall absorption:
-    # 64 frames ≈ 3 s of measured 0.3-1.2 s stall tails at steady rate
-    # (round 4's depth-24 optimum existed only because consume-time KF
-    # decisions lagged by the whole queue — docs/PERF.md depth A/B).
-    rt_stall_depth: int = 64
+    # distorts KF cadence; the binding constraint is now the IMU
+    # PREVIEW's dead-reckoning horizon: the dispatch-time tracker prior
+    # propagates from the last CONSUMED frame through every pending
+    # chunk, so the queue depth bounds how long the prior runs on IMU
+    # alone. 24 frames ≈ 1.2 s — about where inertial dead-reckoning
+    # stays a useful prior, and exactly the measured stall-tail maximum.
+    # Measured round 5 (same code, real TPU): depth 24 ran clean at
+    # 28.3 fps with se3 1.0%; depth 64 lost tracking and reset on every
+    # bad-weather run (3+ s IMU-only priors under stall) — a prediction-
+    # physics bound, not the round-4 decision-lag bound (that mechanism
+    # is gone: the legacy consume-decision control at depth 64 collapses
+    # via KF cadence instead, docs/PERF.md).
+    rt_stall_depth: int = 24
     # Make the keyframe decision at DISPATCH time from the newest LANDED
     # tracker stats extrapolated by their measured per-frame growth rate
     # (plus the incremental IMU preview for the keyframe's own state),

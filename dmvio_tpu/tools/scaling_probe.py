@@ -12,7 +12,13 @@ analysis for both.
 
 Usage:
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-    JAX_PLATFORM_NAME=cpu python -m dmvio_tpu.tools.scaling_probe [n]
+    JAX_PLATFORM_NAME=cpu python -m dmvio_tpu.tools.scaling_probe \
+        [n] [P=2048] [F=8]
+
+P=/F= probe shapes BEYOND the reference's operating point (its window is
+capped at 7 KFs for CPU reasons, settings.cpp:99-100): the sharded BA's
+whole payoff is that a bigger window's extra cost rides the mesh —
+SURVEY.md §7 S6 "then scale the window".
 """
 
 from __future__ import annotations
@@ -22,7 +28,11 @@ import sys
 
 def main(argv=None):
     args = list(argv if argv is not None else sys.argv[1:])
-    n = int(args[0]) if args else 8
+    pos = [a for a in args if "=" not in a]
+    kv = dict(a.split("=", 1) for a in args if "=" in a)
+    n = int(pos[0]) if pos else 8
+    P = int(kv.get("P", 2048))
+    F = int(kv.get("F", 8))
 
     import jax
 
@@ -30,7 +40,7 @@ def main(argv=None):
     from dmvio_tpu.models import ba
     from dmvio_tpu.parallel import dist_ba
 
-    problem, images = g._tiny_problem(P=2048, F=8, H=512, W=512)
+    problem, images = g._tiny_problem(P=P, F=F, H=512, W=512)
     step = jax.jit(lambda p, im: ba.optimize(p, im, max_iters=2))
     c1 = step.lower(problem, images).compile().cost_analysis()
     placer = dist_ba.Placer(dist_ba.make_mesh(n))
