@@ -90,12 +90,21 @@ SIG_VIS_VEL = 0.02    # m/s
 SIG_VIS_POS = 0.005   # m
 
 
-def _residual_all(x, st: CoarseInitState, R_cb, t_cb, N: int):
-    """All pair residuals stacked: x = [s_log, g2, bias, v...]."""
+def _residual_all(x, st: CoarseInitState, R_cb, t_cb, N: int,
+                  use_sig: bool = False):
+    """All pair residuals stacked: x = [s_log, g2, bias, v...].
+
+    use_sig=False (the measured default) keeps the ORIGINAL constant
+    floor inflation bit-for-bit — the chaotic accuracy basins are
+    sensitive to 1e-8-level reformulations (CLAUDE.md), so the per-pair
+    tracker-sigma path must not perturb the default numerics."""
     s_log = x[0]
     g2 = x[1:3]
     bias = x[3:9]
     v = x[9:].reshape(N, 3)
+    infl_const = jnp.diag(jnp.concatenate([
+        jnp.full(3, SIG_VIS_ROT ** 2), jnp.full(3, SIG_VIS_VEL ** 2),
+        jnp.full(3, SIG_VIS_POS ** 2)]))
 
     def one(q):
         pre_q = jax.tree_util.tree_map(lambda a: a[q], st.pre)
@@ -105,18 +114,22 @@ def _residual_all(x, st: CoarseInitState, R_cb, t_cb, N: int):
                                  R_cb, t_cb)
         r9 = preint.imu_residual(pre_q, Rb_i, pb_i, v[q], Rb_j, pb_j,
                                  v[q + 1], bias)
-        # Pair inflation: the global floor PLUS both endpoint poses'
-        # tracker-measured sigmas; the velocity block additionally sees
-        # the positional noise differentiated over the pair's dt.
-        v_rot = (SIG_VIS_ROT ** 2 + st.sig_rot[q] ** 2
-                 + st.sig_rot[q + 1] ** 2)
-        v_pos = (SIG_VIS_POS ** 2 + st.sig_pos[q] ** 2
-                 + st.sig_pos[q + 1] ** 2)
-        dt_q = jnp.maximum(pre_q.dt, 1e-2)
-        v_vel = SIG_VIS_VEL ** 2 + (st.sig_pos[q] ** 2
-                                    + st.sig_pos[q + 1] ** 2) / dt_q ** 2
-        infl = jnp.diag(jnp.concatenate([
-            jnp.full(3, v_rot), jnp.full(3, v_vel), jnp.full(3, v_pos)]))
+        if use_sig:
+            # Pair inflation: the global floor PLUS both endpoint poses'
+            # tracker-measured sigmas; the velocity block additionally
+            # sees the positional noise differentiated over the dt.
+            v_rot = (SIG_VIS_ROT ** 2 + st.sig_rot[q] ** 2
+                     + st.sig_rot[q + 1] ** 2)
+            v_pos = (SIG_VIS_POS ** 2 + st.sig_pos[q] ** 2
+                     + st.sig_pos[q + 1] ** 2)
+            dt_q = jnp.maximum(pre_q.dt, 1e-2)
+            v_vel = SIG_VIS_VEL ** 2 + (st.sig_pos[q] ** 2
+                                        + st.sig_pos[q + 1] ** 2) / dt_q ** 2
+            infl = jnp.diag(jnp.concatenate([
+                jnp.full(3, v_rot), jnp.full(3, v_vel),
+                jnp.full(3, v_pos)]))
+        else:
+            infl = infl_const
         cov = pre_q.cov + infl
         L = jnp.linalg.cholesky(0.5 * (cov + cov.T)
                                 + 1e-12 * jnp.eye(9))
@@ -130,7 +143,8 @@ def _residual_all(x, st: CoarseInitState, R_cb, t_cb, N: int):
 def optimize(st: CoarseInitState, R_cb, t_cb,
              s_log0, g20, bias0, v0,
              iters: int = 12,
-             bias_prior: float = 1.0 / (0.1 ** 2)) -> CoarseInitResult:
+             bias_prior: float = 1.0 / (0.1 ** 2),
+             use_sig: bool = False) -> CoarseInitResult:
     """LM over [s, g2, bias, velocities] with poses fixed.
 
     The reference runs GTSAM LM with Ceres-default params
@@ -144,7 +158,7 @@ def optimize(st: CoarseInitState, R_cb, t_cb,
     prior_diag = jnp.zeros(dim).at[3:9].set(bias_prior)
 
     def energy(x):
-        r = _residual_all(x, st, R_cb, t_cb, N)
+        r = _residual_all(x, st, R_cb, t_cb, N, use_sig)
         return jnp.sum(r * r) + jnp.sum(prior_diag * (x - x0) ** 2)
 
     class _S(NamedTuple):
@@ -159,8 +173,9 @@ def optimize(st: CoarseInitState, R_cb, t_cb,
         jnp.ones(9, bool), jnp.repeat(st.valid, 3)]).astype(jnp.float32)
 
     def body(s: _S):
-        J = jax.jacfwd(lambda x: _residual_all(x, st, R_cb, t_cb, N))(s.x)
-        r = _residual_all(s.x, st, R_cb, t_cb, N)
+        J = jax.jacfwd(lambda x: _residual_all(
+            x, st, R_cb, t_cb, N, use_sig))(s.x)
+        r = _residual_all(s.x, st, R_cb, t_cb, N, use_sig)
         H = J.T @ J + jnp.diag(prior_diag)
         b = J.T @ r + prior_diag * (s.x - x0)
         H = H * vmask[:, None] * vmask[None, :] + jnp.diag(1.0 - vmask)
@@ -190,7 +205,8 @@ def optimize(st: CoarseInitState, R_cb, t_cb,
     out = jax.lax.while_loop(lambda s: (s.it < iters) & ~s.done, body, init)
 
     # Scale marginal variance from the final (equilibrated) Hessian.
-    J = jax.jacfwd(lambda x: _residual_all(x, st, R_cb, t_cb, N))(out.x)
+    J = jax.jacfwd(lambda x: _residual_all(
+        x, st, R_cb, t_cb, N, use_sig))(out.x)
     H = J.T @ J + jnp.diag(prior_diag)
     H = H * vmask[:, None] * vmask[None, :] + jnp.diag(1.0 - vmask)
     d = jnp.sqrt(jnp.maximum(jnp.diag(H), 1e-12))
@@ -206,4 +222,4 @@ def optimize(st: CoarseInitState, R_cb, t_cb,
     )
 
 
-optimize_jit = jax.jit(optimize, static_argnames=("iters",))
+optimize_jit = jax.jit(optimize, static_argnames=("iters", "use_sig"))

@@ -429,7 +429,11 @@ class IMUSystem:
                 st, self.R_cb, self.t_cb,
                 s_log0=jnp.asarray(s0, jnp.float32),
                 g20=jnp.asarray(g20, jnp.float32), bias0=b0, v0=v0,
-                iters=25)
+                iters=25,
+                # Static flag so the default path keeps the ORIGINAL
+                # constant-floor program bit-for-bit (chaotic basins;
+                # see _residual_all).
+                use_sig=bool(np.any(sig_rot) or np.any(sig_pos)))
             res = jax.device_get(res)
         self.init_result = res
         n_res = 9.0 * max(n - 1, 1)
