@@ -21,6 +21,63 @@ import time
 import numpy as np
 
 
+def _prewarm_sequence(h, w, n, seed):
+    """The prewarm's throwaway synthetic sequence, disk-cached.
+
+    Rendering 100 frames of 512x512 synthetic imagery through the device
+    link measured 47 s of the 93 s warm-cache prewarm (docs/PERF.md) —
+    half the cold start spent generating data whose content never
+    changes. The rendered arrays are cached under ~/.cache keyed by
+    shape/seed; a cache hit uploads host arrays instead (~1 s).
+    DMVIO_PREWARM_CACHE=off disables."""
+    import numpy as np
+
+    from dmvio_tpu.utils import synthetic
+
+    cache_root = os.environ.get(
+        "DMVIO_PREWARM_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "dmvio_tpu_prewarm"))
+    path = None
+    if cache_root.strip().lower() not in ("", "0", "off", "none"):
+        path = os.path.join(cache_root, f"seq_{h}x{w}_n{n}_s{seed}.npz")
+        if os.path.exists(path):
+            try:
+                import jax.numpy as jnp
+
+                from dmvio_tpu.utils.camera import Calib
+
+                z = np.load(path, allow_pickle=False)
+                seq = {k: z[k] for k in z.files if k != "calib_vec"}
+                seq["images"] = jnp.asarray(seq["images"])
+                seq["calib"] = Calib.from_vec(jnp.asarray(z["calib_vec"]))
+                seq["steps_per_frame"] = int(seq["steps_per_frame"])
+                seq["imu_dt"] = float(seq["imu_dt"])
+                return seq
+            except Exception:   # noqa: BLE001 — fall through to render
+                pass
+    seq = synthetic.generate_vio_sequence(
+        n_frames=n, frame_dt=0.05, h=h, w=w, s_dso=1.3, g2=(0.05, -0.03),
+        accel_scale=0.5, rot_scale=0.3, seed=seed,
+        scene=synthetic.default_scene(depth=2.0))
+    if path is not None:
+        try:
+            os.makedirs(cache_root, exist_ok=True)
+            save = {}
+            for k, v in seq.items():
+                if k == "calib":
+                    save["calib_vec"] = np.asarray(v.as_vec())
+                elif k == "scene":
+                    continue
+                else:
+                    save[k] = np.asarray(v)
+            np.savez(path + ".tmp.npz", **save)
+            os.replace(path + ".tmp.npz", path)
+        except Exception:   # noqa: BLE001 — cache is best-effort
+            pass
+    return seq
+
+
 def _prewarm(cfg, h, w, imu_calib, quiet=False, n=60, seed=2):
     """Populate every steady-state jit cache before the real stream.
 
@@ -40,10 +97,7 @@ def _prewarm(cfg, h, w, imu_calib, quiet=False, n=60, seed=2):
     from dmvio_tpu.utils import synthetic
 
     t0 = time.perf_counter()
-    seq = synthetic.generate_vio_sequence(
-        n_frames=n, frame_dt=0.05, h=h, w=w, s_dso=1.3, g2=(0.05, -0.03),
-        accel_scale=0.5, rot_scale=0.3, seed=seed,
-        scene=synthetic.default_scene(depth=2.0))
+    seq = _prewarm_sequence(h, w, n, seed)
     import jax as _jax
     _jax.block_until_ready(seq["images"][-1])
     t_gen = time.perf_counter() - t0
