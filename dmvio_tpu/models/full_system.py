@@ -54,11 +54,24 @@ _make_ref_jit = jax.jit(coarse_tracker.make_tracker_ref)
 def _guard_kf_pose(anyv, R, t, aff, R_fb, t_fb, aff_fb):
     """Keyframe pose guard for dispatch-time KF builds: tracking validity
     is a device scalar the host has not seen yet, so select between the
-    solved pose and a fallback (previous frame's pose; the reference KF's
+    solved pose and a fallback (the last VALID pose; the reference KF's
     affine) on device. A diverged solve must never seed the window."""
     ok = anyv > 0.5
     return (jnp.where(ok, R, R_fb), jnp.where(ok, t, t_fb),
             jnp.where(ok, aff, aff_fb))
+
+
+@jax.jit
+def _carry_valid_pose(anyv, R, t, aff, R_prev, t_prev, aff_prev):
+    """Device-carried newest VALID absolute pose: updated per frame from
+    the packed validity flag, so the keyframe guard's fallback is never a
+    diverged solve. (Measured failure without it: a loss streak fed the
+    previous frame's DIVERGED pose into a dispatch-time keyframe — the
+    poisoned reference then failed every subsequent track until a full
+    reset, docs/PERF.md round-5 weather notes.)"""
+    ok = anyv > 0.5
+    return (jnp.where(ok, R, R_prev), jnp.where(ok, t, t_prev),
+            jnp.where(ok, aff, aff_prev))
 
 
 class TrackInfo(NamedTuple):
@@ -143,6 +156,7 @@ class FullSystem:
             workers=self.cfg.rt_stall_depth + 8)
         self._last_pose_dev = None   # device pose history for candidates
         self._prev_pose_dev = None
+        self._valid_pose_dev = None  # newest VALID pose (KF-guard fallback)
         self._last_exposure = None   # previous frame's shutter time
         self._frame_th_dev = None    # adaptive energy thresholds (device)
         self._frame_th_np = None     # ... host mirror (fused-tail fetch)
@@ -428,6 +442,14 @@ class FullSystem:
         # Device pose history for the next frame's candidate batch.
         self._prev_pose_dev = self._last_pose_dev or (R_cw, t_cw)
         self._last_pose_dev = (R_cw, t_cw)
+        # Newest VALID pose (device-carried; keyframe-guard fallback).
+        if self._valid_pose_dev is None:
+            self._valid_pose_dev = (
+                self.win.frames.R_cw[self.ref_kf_slot],
+                self.win.frames.t_cw[self.ref_kf_slot],
+                self.win.frames.aff[self.ref_kf_slot])
+        self._valid_pose_dev = _carry_valid_pose(
+            packed[-1], R_cw, t_cw, aff_new, *self._valid_pose_dev)
         imm_before = self.imm     # pre-trace pool (device refs: free)
         with TimeMeasurement("trace"):
             self._trace_pool(R_cw, t_cw, aff_new, pyr)
@@ -616,15 +638,15 @@ class FullSystem:
                 or self._rt_queue[-1] is not p:
             return              # finalize reset the map under us
         # Tracking validity is unknown at dispatch: guard the keyframe
-        # pose on device with the previous frame's pose as fallback (a
-        # diverged solve must never seed the window; the BA + divergence
-        # revert handle the residual risk).
-        if self._prev_pose_dev is not None:
-            R_fb, t_fb = self._prev_pose_dev
+        # pose on device with the newest VALID pose as fallback (a
+        # diverged solve must never seed the window — and during a loss
+        # streak the previous frame's pose IS a diverged solve, so the
+        # fallback must be the device-carried last-valid pose).
+        if self._valid_pose_dev is not None:
+            R_fb, t_fb, aff_fb = self._valid_pose_dev
             anyv = p["packed"][-1]
             R_kf, t_kf, aff_kf = _guard_kf_pose(
-                anyv, p["R_cw"], p["t_cw"], p["aff"], R_fb, t_fb,
-                self.win.frames.aff[self.ref_kf_slot])
+                anyv, p["R_cw"], p["t_cw"], p["aff"], R_fb, t_fb, aff_fb)
         else:
             R_kf, t_kf, aff_kf = p["R_cw"], p["t_cw"], p["aff"]
         p["is_kf"] = True
@@ -928,6 +950,7 @@ class FullSystem:
         self._rt_chunks_since_kf = None
         self._last_pose_dev = None
         self._prev_pose_dev = None
+        self._valid_pose_dev = None
         self._kf_score_meas = None
         self._kf_score_rate = 0.0
         self._kf_epoch_fid = fid
